@@ -1,0 +1,146 @@
+"""Typed configuration for sie_tpu.
+
+Field names mirror the reference CLI flags (reference `run.py:14-144`) so that the
+`run.py` shipped with this repo stays drop-in flag-compatible, but the config is a
+frozen dataclass threaded explicitly instead of a mutable argparse.Namespace.
+
+Data-derived fields (`seq_len`, `enc_in`, `num_class`, ...) are injected by the
+experiment once the dataset is loaded (reference
+`exp/experiment_classification.py:166-249`), here via `dataclasses.replace`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ===== data selection =====
+    data: str = "EEG3"                # 'EEG' (39-class) | 'EEG3' | 'UEA' | 'Monash'
+    data_root: str = "./data"
+    json_path: str = "./data/textmaps.json"
+    dataset: str = "BasicMotions"     # UEA/Monash dataset name
+    task_name: str = "classification"  # 'classification' | 'regression'
+
+    # ===== EEG data params (reference run.py:24-40) =====
+    target_channels: int = 122
+    target_timepoints: int = 1651
+    max_files: int = 1000
+    max_subjects: int = 5
+    subject_id: str = "sub-01"
+    subject_ids: Tuple[str, ...] = ("sub-01", "sub-02", "sub-03")
+    task_type: str = "imagine"        # 'imagine' | 'read' | 'both'
+    test_size: float = 0.2
+    val_size: float = 0.1
+
+    # ===== model selection =====
+    model: str = "InterpGN"           # 'SBM' | 'LTS' | 'InterpGN' | 'DNN' | 'EEGCNN'
+    dnn_type: str = "Transformer"     # 'FCN' | 'Transformer' | 'TimesNet' | 'PatchTST' | 'ResNet'
+
+    # ===== SBM / InterpGN hyperparams (reference run.py:75-84) =====
+    lambda_reg: float = 0.1
+    lambda_div: float = 0.1
+    epsilon: float = 1.0
+    num_shapelet: int = 10
+    gating_value: Optional[float] = None
+    pos_weight: bool = False
+    sbm_cls: str = "linear"           # 'linear' | 'bilinear' | 'attention'
+    distance_func: str = "euclidean"  # 'euclidean' (mean-|diff|) | 'sqeuclidean' | 'cosine' | 'pearson'
+    beta_schedule: str = "constant"   # 'cosine' | 'linear' | 'constant'
+    memory_efficient: bool = False    # parity flag; our kernel is always memory-efficient
+    shapelet_lengths: Tuple[float, ...] = (0.05, 0.1, 0.2, 0.3, 0.5, 0.8)
+    # (reference exp/experiment_classification.py:253)
+
+    # ===== EEGCNN params (reference run.py:42-66) =====
+    eegcnn_layers: int = 2
+    eegcnn_pooling: Optional[str] = "mean"  # None | 'mean' | 'sum' | 'top'
+    eegcnn_cnn_f1: int = 8
+    eegcnn_cnn_f2: int = 8
+    eegcnn_kernel1: int = 125
+    eegcnn_kernel2: int = 25
+    eegcnn_pool1: int = 2
+    eegcnn_pool2: int = 5
+    eegcnn_dropout1: float = 0.1
+    eegcnn_dropout2: float = 0.1
+    eegcnn_n_heads: int = 8
+    eegcnn_d_ff: int = 256
+
+    # ===== trainer (reference run.py:87-100) =====
+    lr: float = 5e-3
+    lr_decay: bool = False
+    gradient_accumulation_steps: int = 1
+    gradient_clip: float = 0.0
+    batch_size: int = 64
+    log_interval: int = 20
+    min_epochs: int = 0
+    train_epochs: int = 500
+    num_workers: int = 0
+    patience: int = 50
+    multi_gpu: bool = False           # parity flag; mesh data-parallel replaces it
+    test_only: bool = False
+    seed: int = -1
+    amp: bool = True                  # bf16 compute policy (reference exp:319)
+
+    # ===== DNN backbone configs (reference run.py:112-135) =====
+    top_k: int = 5
+    num_kernels: int = 6
+    enc_in: int = 7
+    dec_in: int = 7
+    c_out: int = 7
+    d_model: int = 512
+    n_heads: int = 8
+    e_layers: int = 2
+    d_layers: int = 1
+    d_ff: int = 2048
+    moving_avg: int = 25
+    factor: int = 1
+    distil: bool = True
+    dropout: float = 0.0
+    activation: str = "gelu"
+    output_attention: bool = False
+    embed: str = "timeF"
+    freq: str = "h"
+    label_len: int = 48
+    pred_len: int = 96
+
+    # ===== data-derived (injected by the experiment) =====
+    seq_len: int = 845
+    num_class: int = 3
+    original_fs: int = 500
+    target_fs: int = 256
+
+    # ===== TPU-specific (new; no reference counterpart) =====
+    mesh_shape: Tuple[int, ...] = ()   # () -> single device; e.g. (8,) dp / (4, 2) dp x mp
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    use_pallas: bool = True            # use the Pallas shapelet kernel on TPU
+    checkpoint_dir: str = "./checkpoints"
+    result_dir: str = "./result"
+    cache_dir: str = "./cache"         # preprocessed-array cache (EEG)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # --- derived helpers -------------------------------------------------
+    @property
+    def num_shapelets_per_bank(self) -> Tuple[int, ...]:
+        return (self.num_shapelet,) * len(self.shapelet_lengths)
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.amp else jnp.float32
+
+    def checkpoint_key(self) -> str:
+        """Checkpoint dir keyed on hyperparams (reference exp:140-152)."""
+        return (
+            f"{self.model}/{self.dataset}/"
+            f"dnn-{self.dnn_type}_seed-{self.seed}_k-{self.num_shapelet}"
+            f"_div-{self.lambda_div}_reg-{self.lambda_reg}_eps-{self.epsilon}"
+            f"_beta-{self.beta_schedule}_dfunc-{self.distance_func}_cls-{self.sbm_cls}"
+        )
+
+
+DEFAULT_SEEDS = (0, 42, 1234, 8237, 2023)  # reference run.py:564

@@ -1,0 +1,187 @@
+"""Primitive NN layers: embeddings, attention, encoder stacks.
+
+TPU re-implementations of the reference layer library (`layers/Embed.py`,
+`layers/SelfAttention_Family.py:48-213`, `layers/Transformer_EncDec.py:27-80`)
+as flax modules. Only the layers actually used by the model zoo are built; the
+reference's dead TSlib leftovers (Autoformer/ETSformer/Pyraformer/Crossformer/
+FEDformer blocks) are intentionally omitted (SURVEY.md SS2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def sinusoidal_embedding(length: int, d_model: int) -> np.ndarray:
+    """Classic sin/cos table (reference layers/Embed.py:8-27)."""
+    pe = np.zeros((length, d_model), dtype=np.float32)
+    position = np.arange(length, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                 * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div[: pe[:, 1::2].shape[1]])
+    return pe
+
+
+class TokenEmbedding(nn.Module):
+    """Circular Conv1d token embedding (reference layers/Embed.py:29-42)."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, C)
+        # circular padding of 1 on each side of time, then VALID k=3 conv
+        xp = jnp.concatenate([x[:, -1:, :], x, x[:, :1, :]], axis=1)
+        return nn.Conv(self.d_model, (3,), padding="VALID", use_bias=False,
+                       kernel_init=nn.initializers.variance_scaling(
+                           2.0 / (1 + 0.01 ** 2), "fan_in", "normal"),
+                       dtype=self.dtype, name="tokenConv")(xp)
+
+
+class DataEmbedding(nn.Module):
+    """token + positional (+ time-feature) embedding (reference Embed.py:109-126).
+
+    Classification call sites always pass x_mark=None, so the temporal branch is
+    only exercised when marks are supplied.
+    """
+
+    d_model: int
+    embed_type: str = "timeF"
+    freq: str = "h"
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_mark=None, *, train: bool = False):
+        v = TokenEmbedding(self.d_model, dtype=self.dtype)(x)
+        pe = jnp.asarray(sinusoidal_embedding(x.shape[1], self.d_model),
+                         dtype=v.dtype)
+        out = v + pe[None]
+        if x_mark is not None:
+            freq_map = {"h": 4, "t": 5, "s": 6, "m": 1, "a": 1, "w": 2, "d": 3, "b": 3}
+            mark = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                            name="temporal_embedding")(x_mark[..., :freq_map[self.freq]])
+            out = out + mark
+        return nn.Dropout(self.dropout)(out, deterministic=not train)
+
+
+class FullAttentionLayer(nn.Module):
+    """QKV projections + scaled-dot-product full attention
+    (reference SelfAttention_Family.py:48-75 + 179-213, mask_flag=False path)."""
+
+    d_model: int
+    n_heads: int
+    attention_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, *, train: bool = False):
+        h = self.n_heads
+        dk = self.d_model // h
+        dense = lambda name: nn.Dense(dk * h, dtype=self.dtype, name=name)
+        q = dense("query")(q_in).reshape(*q_in.shape[:2], h, dk)
+        k = dense("key")(k_in).reshape(*k_in.shape[:2], h, dk)
+        v = dense("value")(v_in).reshape(*v_in.shape[:2], h, dk)
+        scores = jnp.einsum("blhe,bshe->bhls", q, k,
+                            preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(scores / math.sqrt(dk), axis=-1)
+        a = nn.Dropout(self.attention_dropout)(a, deterministic=not train)
+        out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(*q_in.shape[:2], h * dk).astype(self.dtype)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm attention + pointwise-conv FFN (reference Transformer_EncDec.py:27-51)."""
+
+    d_model: int
+    d_ff: int
+    n_heads: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        attn = FullAttentionLayer(self.d_model, self.n_heads,
+                                  attention_dropout=self.dropout,
+                                  dtype=self.dtype)(x, x, x, train=train)
+        x = x + drop(attn)
+        x = y = nn.LayerNorm(name="norm1")(x)
+        act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
+        y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, dtype=self.dtype, name="conv2")(y))
+        return nn.LayerNorm(name="norm2")(x + y)
+
+
+class Encoder(nn.Module):
+    """Stack of EncoderLayers + final LayerNorm (reference Transformer_EncDec.py:54-80)."""
+
+    d_model: int
+    d_ff: int
+    n_heads: int
+    e_layers: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for i in range(self.e_layers):
+            x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
+                             self.dropout, self.activation, self.dtype,
+                             name=f"layer_{i}")(x, train=train)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class TorchTransformerEncoderLayer(nn.Module):
+    """Parity with torch.nn.TransformerEncoderLayer defaults (post-norm, ReLU FFN)
+    for the EEGCNN head (reference model/eegcnn.py:219-228)."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool = False):
+        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        h = self.n_heads
+        dk = self.d_model // h
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v")(x)
+        split = lambda z: z.reshape(*z.shape[:2], h, dk)
+        scores = jnp.einsum("blhe,bshe->bhls", split(q), split(k),
+                            preferred_element_type=jnp.float32) / math.sqrt(dk)
+        if mask is not None:  # mask: (B, S) True=keep
+            scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+        a = nn.Dropout(self.dropout)(jax.nn.softmax(scores, axis=-1),
+                                     deterministic=not train)
+        out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), split(v),
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(x.shape).astype(self.dtype)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        x = nn.LayerNorm(name="norm1")(x + drop(out))
+        y = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
+        y = drop(jax.nn.relu(y))
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        return nn.LayerNorm(name="norm2")(x + drop(y))
+
+
+class BatchNorm(nn.BatchNorm):
+    """torch-default BatchNorm (momentum 0.1 torch-style, eps 1e-5)."""
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5

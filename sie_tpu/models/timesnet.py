@@ -1,0 +1,164 @@
+"""TimesNet backbone (reference model/TimesNet.py:9-223), classification path.
+
+TPU adaptation of the period-folding trick. The reference computes data-dependent
+top-k FFT periods, reshapes the sequence into a (rows, period) image and runs a
+2D Inception conv — the reshape has data-dependent shape, which XLA cannot
+compile. We use the identity that a KxK 2D conv on the period-fold equals, in
+sequence coordinates, a sum of shifted pointwise matmuls:
+
+    y[t] = sum_{dr,dc} W[dr,dc] @ x[t + dr*p + dc]
+           masked where the column (t mod p) + dc leaves [0, p) or the shifted
+           index leaves the zero-padded canvas [0, ceil(T/p)*p).
+
+All shapes stay static (canvas padded to 2T, a true upper bound of
+ceil(T/p)*p for any p >= 1); the period `p` enters only through traced shift
+amounts (jnp.roll) and masks. Each tap is a (C_in x C_out) matmul on the MXU —
+the same FLOPs as the reference Conv2d, executed as a lax.scan over taps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sie_tpu.config import Config
+from sie_tpu.models.layers import DataEmbedding
+
+
+def _inception_taps(num_kernels: int) -> np.ndarray:
+    """Static (tap -> kernel_index, dr, dc) table for Inception_Block_V1
+    (reference layers/Conv_Blocks.py:5-30: odd kernels 1,3,...,2K-1, padding to
+    'same')."""
+    rows = []
+    for ki in range(num_kernels):
+        j = ki  # half-width of kernel 2*ki+1
+        for dr in range(-j, j + 1):
+            for dc in range(-j, j + 1):
+                rows.append((ki, dr, dc))
+    return np.asarray(rows, dtype=np.int32)
+
+
+class InceptionConvSeq(nn.Module):
+    """Inception_Block_V1 applied to the period-fold, in sequence coordinates.
+
+    Input: x (B, T2, C_in) on a zero-padded canvas of static length T2 = 2*T;
+    `period` and `canvas_len` (= ceil(T/p)*p) are traced scalars.
+    Output: (B, T2, C_out) = mean over the num_kernels branches.
+    """
+
+    c_in: int
+    c_out: int
+    num_kernels: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, period, canvas_len):
+        taps = _inception_taps(self.num_kernels)
+        n_taps = len(taps)
+        # One (C_in, C_out) weight matrix per tap; kaiming-normal like the
+        # reference Conv2d init (Conv_Blocks.py:18-23).
+        w = self.param("tap_weights",
+                       nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+                       (n_taps, self.c_in, self.c_out))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_kernels, self.c_out))
+
+        t2 = x.shape[1]
+        pos = jnp.arange(t2)
+        col = jnp.mod(pos, period)                       # traced period OK
+        in_canvas = pos < canvas_len
+        xdt = x.astype(self.dtype)
+        tap_dr = jnp.asarray(taps[:, 1])
+        tap_dc = jnp.asarray(taps[:, 2])
+        wdt = w.astype(self.dtype)
+
+        def body(acc, tap):
+            dr, dc, wi = tap
+            shift = dr * period + dc
+            shifted = jnp.roll(xdt, -shift, axis=1)
+            src = pos + shift
+            valid = ((col + dc >= 0) & (col + dc < period)
+                     & (src >= 0) & (src < canvas_len) & in_canvas)
+            contrib = jnp.einsum("btc,cf->btf",
+                                 shifted * valid[None, :, None].astype(xdt.dtype),
+                                 wi, preferred_element_type=jnp.float32)
+            return acc + contrib, None
+
+        acc0 = jnp.zeros((x.shape[0], t2, self.c_out), jnp.float32)
+        acc, _ = jax.lax.scan(body, acc0, (tap_dr, tap_dc, wdt))
+        mean_bias = jnp.mean(bias, axis=0)
+        return acc / self.num_kernels + mean_bias[None, None, :]
+
+
+def fft_periods(x: jax.Array, k: int):
+    """Top-k dominant periods from the batch-mean FFT amplitude
+    (reference TimesNet.py:9-18). x: (B, T, C) -> (periods (k,), weight (B, k))."""
+    xf = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+    amp = jnp.abs(xf)
+    freq_strength = jnp.mean(jnp.mean(amp, axis=0), axis=-1)
+    freq_strength = freq_strength.at[0].set(0.0)
+    _, top = jax.lax.top_k(freq_strength, k)
+    top = jnp.maximum(top, 1)
+    periods = x.shape[1] // top
+    weight = jnp.mean(amp, axis=-1)[:, top]              # (B, k)
+    return periods, weight
+
+
+class TimesBlock(nn.Module):
+    config: Config
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        b, t, c = x.shape
+        periods, weight = fft_periods(x, cfg.top_k)
+
+        conv1 = InceptionConvSeq(cfg.d_model, cfg.d_ff, cfg.num_kernels,
+                                 dtype=cfg.compute_dtype, name="conv1")
+        conv2 = InceptionConvSeq(cfg.d_ff, cfg.d_model, cfg.num_kernels,
+                                 dtype=cfg.compute_dtype, name="conv2")
+
+        canvas = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)  # (B, 2T, C)
+
+        # Static python loop over the k period slots (k is static; the period
+        # values are traced scalars). conv1/conv2 params are shared across slots.
+        outs = []
+        for i in range(cfg.top_k):
+            p = periods[i]
+            rows = (t + p - 1) // p
+            canvas_len = rows * p
+            h = conv1(canvas, p, canvas_len)
+            h = jax.nn.gelu(h)
+            h = conv2(h, p, canvas_len)
+            outs.append(h[:, :t, :])                     # (B, T, d_model)
+        res = jnp.stack(outs, axis=0)                    # (k, B, T, C)
+        w = jax.nn.softmax(weight, axis=1)               # (B, k)
+        agg = jnp.einsum("kbtc,bk->btc", res, w)
+        return agg + x
+
+
+class TimesNet(nn.Module):
+    config: Config
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, train: bool = False):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
+                          dtype=dt, name="enc_embedding")(x.astype(dt), None,
+                                                          train=train)
+        for i in range(cfg.e_layers):
+            h = TimesBlock(cfg, name=f"block_{i}")(h, train=train)
+            h = nn.LayerNorm(name=f"norm_{i}")(h)
+        h = jax.nn.gelu(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
+        if padding_mask is not None:
+            h = h * padding_mask.astype(h.dtype)[..., None]
+        h = h.reshape(h.shape[0], -1)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
+        return out.astype(jnp.float32)

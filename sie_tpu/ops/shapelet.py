@@ -1,0 +1,263 @@
+"""Shapelet sliding-window distance ops — the numerically-critical path.
+
+Behavioral contract (matching the reference semantics at
+`InterpretGatedNetwork/model/Shapelet.py:46-114`, re-derived for TPU):
+
+    x: (B, C, T)  instance-normalized series
+    s: (n, C, L)  learnable shapelet bank
+    d[b, n, c, w] = dist(x[b, c, w*stride : w*stride+L],  s[n, c, :])
+
+with metrics
+    'euclidean'   mean_l |x - s|          (reference Shapelet.py:74 — mean ABS diff)
+    'sqeuclidean' mean_l (x - s)^2        (reference memory-efficient path, Shapelet.py:28)
+    'cosine'      1 - cos(x_win, s)       (reference Shapelet.py:64-66)
+    'pearson'     1 - corr(x_win, s)      (reference Shapelet.py:11-19, 67-69)
+
+Layout note: we keep the window axis LAST — (B, n, C, W) — so the large axis
+lands on TPU vector lanes and the max/softmax reductions over windows are
+lane-local. The reference keeps windows at dim 1; flattened (n, C) feature order
+is identical, so classifier weights correspond 1:1.
+
+TPU-first design:
+- 'sqeuclidean' / 'cosine' / 'pearson' decompose into sliding cross-correlations
+  -> XLA depthwise convolutions that run on the MXU (systolic array).
+- 'euclidean' (L1) has no matmul decomposition; it is VPU-bound. We provide a
+  lax.scan implementation with a custom VJP (O(B·n·C·W) working set instead of
+  the reference's O(B·W·n·C·L) broadcast) and a fused Pallas kernel
+  (sie_tpu/ops/pallas/shapelet_pallas.py) selected automatically on TPU.
+- Straight-through max over windows keeps the reference gradient semantics
+  (Shapelet.py:79-83): value = hard max; gradient = hard one-hot + softmax
+  Jacobian.
+
+The custom VJP returns zero gradient for `x`, exactly like the reference's
+memory-efficient autograd Function (Shapelet.py:40). In every model here the
+shapelet input is instance-normalized *data* (no upstream parameters), so this
+is lossless.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------------------
+# normalization
+# --------------------------------------------------------------------------
+
+def instance_norm(x: jax.Array, eps: float = 1e-8, ddof: int = 1) -> jax.Array:
+    """Per-channel z-score over time: x (B, C, T).
+
+    Reference (Shapelet.py:186-187) uses torch .std() which is the *unbiased*
+    (ddof=1) estimator; ddof is exposed for the backbones that use ddof=0.
+    """
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    if ddof:
+        t = x.shape[-1]
+        var = var * (t / max(t - ddof, 1))
+    return (x - mean) / (jnp.sqrt(var) + eps)
+
+
+# --------------------------------------------------------------------------
+# sliding distances
+# --------------------------------------------------------------------------
+
+def _num_windows(t: int, l: int, stride: int) -> int:
+    return (t - l) // stride + 1
+
+
+def _depthwise_corr(x: jax.Array, s: jax.Array, stride: int) -> jax.Array:
+    """Sliding cross-correlation on the MXU.
+
+    x: (B, C, T), s: (n, C, L) -> out[b, n, c, w] = sum_l x[b,c,w*stride+l] * s[n,c,l]
+    """
+    _, c, _ = x.shape
+    n = s.shape[0]
+    # rhs layout OIH with feature_group_count=C: out channel (c*n + j) <- group c
+    rhs = jnp.transpose(s, (1, 0, 2)).reshape(c * n, 1, s.shape[2])
+    out = lax.conv_general_dilated(
+        x, rhs,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # cancellation-sensitive downstream
+    )  # (B, C*n, W)
+    b, _, w = out.shape
+    return jnp.transpose(out.reshape(b, c, n, w), (0, 2, 1, 3))
+
+
+def _sliding_sum(x: jax.Array, l: int, stride: int) -> jax.Array:
+    """Per-channel sliding sum over windows of length l. x: (B, C, T) -> (B, C, W)."""
+    c = x.shape[1]
+    rhs = jnp.ones((c, 1, l), x.dtype)
+    return lax.conv_general_dilated(
+        x, rhs,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+# ---- L1 (mean absolute) distance: scan impl with custom VJP ----------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _l1_distance(x: jax.Array, s: jax.Array, stride: int) -> jax.Array:
+    return _l1_forward(x, s, stride)
+
+
+def _l1_forward(x: jax.Array, s: jax.Array, stride: int) -> jax.Array:
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = _num_windows(t, l, stride)
+    span = (w - 1) * stride + 1
+
+    def body(acc, li):
+        xl = lax.dynamic_slice_in_dim(x, li, span, axis=2)[:, :, ::stride]  # (B,C,W)
+        sl = lax.dynamic_index_in_dim(s, li, axis=2, keepdims=False)         # (n,C)
+        acc = acc + jnp.abs(xl[:, None, :, :] - sl[None, :, :, None]).astype(jnp.float32)
+        return acc, None
+
+    acc, _ = lax.scan(body, jnp.zeros((b, n, c, w), jnp.float32), jnp.arange(l))
+    return acc / l
+
+
+def _l1_fwd_rule(x, s, stride):
+    return _l1_forward(x, s, stride), (x, s)
+
+
+def _l1_bwd_rule(stride, res, g):
+    x, s = res
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = g.shape[-1]
+    span = (w - 1) * stride + 1
+    g32 = g.astype(jnp.float32)
+
+    def body(_, li):
+        xl = lax.dynamic_slice_in_dim(x, li, span, axis=2)[:, :, ::stride]
+        sl = lax.dynamic_index_in_dim(s, li, axis=2, keepdims=False)
+        sgn = jnp.sign(sl[None, :, :, None] - xl[:, None, :, :]).astype(jnp.float32)
+        return None, jnp.sum(sgn * g32, axis=(0, 3))  # (n, C)
+
+    _, gs = lax.scan(body, None, jnp.arange(l))       # (L, n, C)
+    grad_s = (jnp.transpose(gs, (1, 2, 0)) / l).astype(s.dtype)
+    # Zero grad for x: parity with reference ShapeletDistanceFunc.backward
+    # (Shapelet.py:40); x is data in all call sites.
+    return jnp.zeros_like(x), grad_s
+
+
+_l1_distance.defvjp(_l1_fwd_rule, _l1_bwd_rule)
+
+
+# ---- dispatch --------------------------------------------------------------
+
+def sliding_distance(
+    x: jax.Array,
+    s: jax.Array,
+    stride: int = 1,
+    metric: str = "euclidean",
+    use_pallas: bool = True,
+) -> jax.Array:
+    """All-window shapelet distances. x (B,C,T), s (n,C,L) -> d (B,n,C,W) f32."""
+    n, _, l = s.shape
+    if metric == "euclidean":
+        if use_pallas and _pallas_available():
+            from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
+            return l1_sliding_distance(x, s, stride)
+        return _l1_distance(x, s, stride)
+    if metric == "sqeuclidean":
+        xs = _depthwise_corr(x, s, stride)                 # Σ x·s
+        x2 = _sliding_sum(jnp.square(x), l, stride)        # Σ x²   (B,C,W)
+        s2 = jnp.sum(jnp.square(s).astype(jnp.float32), axis=-1)  # (n,C)
+        return (x2[:, None] - 2.0 * xs + s2[None, :, :, None]) / l
+    if metric == "cosine":
+        xs = _depthwise_corr(x, s, stride)
+        x2 = _sliding_sum(jnp.square(x), l, stride)
+        s2 = jnp.sum(jnp.square(s).astype(jnp.float32), axis=-1)
+        denom = jnp.sqrt(x2[:, None] * s2[None, :, :, None])
+        # torch cosine_similarity clamps the denominator at eps=1e-8
+        cos = xs / jnp.maximum(denom, 1e-8)
+        return 1.0 - cos
+    if metric == "pearson":
+        xs = _depthwise_corr(x, s, stride)
+        x1 = _sliding_sum(x, l, stride)                    # Σ x
+        x2 = _sliding_sum(jnp.square(x), l, stride)        # Σ x²
+        s_mean = jnp.mean(s.astype(jnp.float32), axis=-1)  # (n,C)
+        s_cent2 = jnp.sum(jnp.square(s.astype(jnp.float32) - s_mean[..., None]), axis=-1)
+        x_mean = x1 / l
+        num = xs - l * x_mean[:, None] * s_mean[None, :, :, None]
+        x_cent2 = x2 - l * jnp.square(x_mean)
+        x_cent2 = jnp.maximum(x_cent2, 0.0)  # guard fp cancellation
+        denom = jnp.sqrt(x_cent2[:, None] * s_cent2[None, :, :, None]) + 1e-8
+        return 1.0 - num / denom
+    raise ValueError(f"unknown metric: {metric!r}")
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# --------------------------------------------------------------------------
+# straight-through window reductions (reference Shapelet.py:79-83, 105-108)
+# --------------------------------------------------------------------------
+
+def ste_max(p: jax.Array, axis: int = -1) -> jax.Array:
+    """Straight-through hard max: value = p[argmax]; grad = one-hot + softmax Jacobian."""
+    hard = jax.nn.one_hot(jnp.argmax(p, axis=axis), p.shape[axis],
+                          axis=axis, dtype=p.dtype)
+    soft = jax.nn.softmax(p, axis=axis)
+    onehot = hard + soft - lax.stop_gradient(soft)
+    return jnp.sum(onehot * p, axis=axis)
+
+
+def ste_min(d: jax.Array, axis: int = -1) -> jax.Array:
+    """Straight-through hard min via softmin (reference DistThresholdShapelet)."""
+    hard = jax.nn.one_hot(jnp.argmin(d, axis=axis), d.shape[axis],
+                          axis=axis, dtype=d.dtype)
+    soft = jax.nn.softmax(-d, axis=axis)
+    onehot = hard + soft - lax.stop_gradient(soft)
+    return jnp.sum(onehot * d, axis=axis)
+
+
+def rbf(d: jax.Array, eps: float) -> jax.Array:
+    """p = exp(-(eps*d)^2)   (reference Shapelet.py:77)."""
+    return jnp.exp(-jnp.square(eps * d))
+
+
+# --------------------------------------------------------------------------
+# diversity regularizer (reference Shapelet.py:223-230)
+# --------------------------------------------------------------------------
+
+def diversity_loss(bank: jax.Array) -> jax.Array:
+    """mean over (C, n, n) of exp(-||s_i - s_j + 1e-6||_2) off-diagonal.
+
+    bank: (n, C, L). The +1e-6 inside the norm mirrors torch PairwiseDistance eps.
+    """
+    n = bank.shape[0]
+    sh = jnp.transpose(bank, (1, 0, 2)).astype(jnp.float32)   # (C, n, L)
+    diff = sh[:, :, None, :] - sh[:, None, :, :] + 1e-6
+    dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))
+    mask = 1.0 - jnp.eye(n, dtype=dist.dtype)
+    return jnp.mean(jnp.exp(-dist) * mask[None, :, :])
+
+
+def shapelet_stride(seq_len: int, shapelet_len: int) -> int:
+    """Stride rule (reference Shapelet stride arg set at Shapelet.py:162)."""
+    if seq_len < 3000:
+        return 1
+    import numpy as np
+    return max(1, int(np.log2(shapelet_len)))
