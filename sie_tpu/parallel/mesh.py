@@ -1,0 +1,109 @@
+"""Device-mesh parallelism: data-parallel batch sharding + tensor-parallel
+param sharding over `jax.sharding.Mesh` (SURVEY.md SS2.7 — the TPU-native
+replacement for the reference's nn.DataParallel, exp:279-281).
+
+Recipe (jax-ml.github.io/scaling-book): pick a mesh, annotate the shardings of
+params and batch, jit the step, and let XLA GSPMD insert the collectives over
+ICI. Rules:
+
+- batch tensors:      P('data') on axis 0
+- shapelet banks      (n, C, L)        -> P('model')      per-bank shapelets split
+- LTS thresholds      (n, C)           -> P('model')
+- SBM classifier      (F, num_class)   -> P('model', None)  row-parallel (psum)
+- FFN in  / QKV kernels (d, d_ff)      -> P(None, 'model')  column-parallel
+- FFN out / attn-out  (d_ff, d)        -> P('model', None)  row-parallel
+- everything else replicated.
+
+Optimizer state inherits param shardings by initializing optax *after* the
+params are device_put with their NamedShardings (zeros_like preserves
+sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sie_tpu.config import Config
+
+
+def make_mesh(cfg: Config, devices: Optional[Sequence[jax.Device]] = None
+              ) -> Optional[Mesh]:
+    devices = list(devices if devices is not None else jax.devices())
+    shape = tuple(cfg.mesh_shape)
+    if not shape or int(np.prod(shape)) <= 1:
+        return None
+    if int(np.prod(shape)) > len(devices):
+        raise ValueError(f"mesh {shape} needs {np.prod(shape)} devices, "
+                         f"have {len(devices)}")
+    axes = cfg.mesh_axes[: len(shape)]
+    dev_array = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def _axis(mesh: Mesh, name: str) -> Optional[str]:
+    return name if name in mesh.axis_names else None
+
+
+def params_partition_specs(params: Any, mesh: Mesh) -> Any:
+    """Rule-based PartitionSpec tree for a model's params."""
+    model = _axis(mesh, "model")
+
+    def rule(path: Tuple, leaf) -> P:
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if model is None or leaf.ndim == 0:
+            return P()
+        if "shapelets_" in joined and leaf.ndim == 3:
+            return P(model, None, None)
+        if "threshold_" in joined and leaf.ndim == 2:
+            return P(model, None)
+        if names and names[-1] == "kernel" and leaf.ndim == 2:
+            parent = names[-2] if len(names) >= 2 else ""
+            if parent in ("conv1", "query", "key", "value", "q", "k", "v",
+                          "linear1"):
+                return P(None, model)
+            if parent in ("conv2", "out", "out_proj", "linear2",
+                          "output_layer"):
+                return P(model, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    specs = params_partition_specs(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_batch(batch: Tuple, mesh: Mesh) -> Tuple:
+    data = _axis(mesh, "data")
+    if data is None:
+        return tuple(jax.device_put(b, NamedSharding(mesh, P())) for b in batch)
+    out = []
+    for b in batch:
+        spec = P(data, *([None] * (b.ndim - 1)))
+        out.append(jax.device_put(b, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def shard_state(state, mesh: Mesh, cfg: Config):
+    """Shard a freshly-initialized TrainState: params by rule, batch_stats
+    replicated, optimizer state re-initialized from the sharded params so its
+    moments inherit the shardings."""
+    params = shard_params(state.params, mesh)
+    batch_stats = replicate(state.batch_stats, mesh)
+    opt_state = state.tx.init(params)
+    return state.replace(params=params, batch_stats=batch_stats,
+                         opt_state=opt_state,
+                         step=jax.device_put(
+                             state.step, NamedSharding(mesh, P())))

@@ -1,0 +1,249 @@
+"""Classification Experiment (reference exp/experiment_classification.py:85-1138).
+
+Lifecycle: load data -> derive config from data -> build jitted trainer ->
+epoch loop with per-epoch validation + early stopping on val accuracy ->
+reload best -> test with hard gating + interpretability stats + CSV summary.
+
+The CSV summary implements the full spec from the reference's dead-draft test
+(exp:500-532 — test_accuracy, epoch_stop, eta mean/std, shapelet_score,
+|w|-sparsity counts at 1/0.5/0.1, w_max, w Gini) which the live reference left
+stubbed (exp:1130-1136).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from sie_tpu.config import Config
+from sie_tpu.data.provider import data_provider
+from sie_tpu.train import checkpoint as ckpt
+from sie_tpu.train.trainer import Trainer, compute_beta
+from sie_tpu.utils.metrics import accuracy, class_distribution
+from sie_tpu.utils.shapelet_util import (ClassificationResult,
+                                         compute_shapelet_score,
+                                         extract_shapelets)
+from sie_tpu.utils.tools import EarlyStopping, convert_to_hms, gini_coefficient
+
+
+class Experiment:
+    def __init__(self, cfg: Config, mesh=None, loso_test_subject=None,
+                 verbose: bool = True):
+        self.verbose = verbose
+        self.train_data, self.train_loader = data_provider(
+            cfg, "train", loso_test_subject=loso_test_subject)
+        self.val_data, self.val_loader = data_provider(
+            cfg, "val", loso_test_subject=loso_test_subject)
+        self.test_data, self.test_loader = data_provider(
+            cfg, "test", loso_test_subject=loso_test_subject)
+
+        # derive model config from the data (reference exp:166-249)
+        cfg = cfg.replace(
+            seq_len=self.train_data.seq_len,
+            enc_in=self.train_data.enc_in,
+            num_class=self.train_data.num_class,
+            pred_len=0, label_len=0,
+            original_fs=self.train_data.original_fs,
+            target_fs=self.train_data.target_fs,
+        )
+        self.cfg = cfg
+        self.trainer = Trainer(cfg, steps_per_epoch=max(len(self.train_loader), 1),
+                               mesh=mesh)
+        self.checkpoint_dir = os.path.join(cfg.checkpoint_dir,
+                                           cfg.checkpoint_key())
+        self.epoch_stop = 0
+        self.state = None
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    def _init_state(self):
+        sample = next(iter(self.train_loader.epoch(0)))
+        self.state = self.trainer.init_state(sample, seed=max(self.cfg.seed, 0))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        if self.state is None:
+            self._init_state()
+        early = EarlyStopping(patience=cfg.patience)
+        best = (jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats))
+        t0 = time.time()
+
+        for epoch in range(cfg.train_epochs):
+            beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
+            losses = []
+            for batch in self.train_loader.epoch(epoch):
+                self.state, loss, _logits = self.trainer.train_step(
+                    self.state, batch, beta)
+                losses.append(loss)
+            if not losses:
+                continue
+            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            val_loss, val_acc = self.validation()
+            if (epoch + 1) % cfg.log_interval == 0:
+                remain = (time.time() - t0) * (cfg.train_epochs - epoch) / (epoch + 1)
+                self._log(f"Epoch {epoch + 1}/{cfg.train_epochs} | "
+                          f"Train Loss {train_loss:.4f} | Val Loss {val_loss:.4f} | "
+                          f"Val Acc {val_acc:.4f} | Time Rem {convert_to_hms(remain)}")
+            if epoch >= cfg.min_epochs:
+                improved = early(-val_acc)
+                if improved:
+                    best = (jax.device_get(self.state.params),
+                            jax.device_get(self.state.batch_stats))
+                    ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1])
+            if early.early_stop:
+                self._log("Early stopping")
+                self.epoch_stop = epoch
+                break
+            self.epoch_stop = epoch
+
+        # reload best (reference exp:372-376)
+        self.state = self.state.replace(
+            params=jax.device_put(best[0]),
+            batch_stats=jax.device_put(best[1]))
+        return self.state
+
+    def load_checkpoint(self) -> bool:
+        if self.state is None:
+            self._init_state()
+        template = {"params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats)}
+        restored = ckpt.load_checkpoint(self.checkpoint_dir, template)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=jax.device_put(restored["params"]),
+            batch_stats=jax.device_put(restored["batch_stats"]))
+        return True
+
+    def has_checkpoint(self) -> bool:
+        return ckpt.has_checkpoint(self.checkpoint_dir)
+
+    # ------------------------------------------------------------------
+    def _eval_loader(self, loader, gating_value=None, collect=False):
+        losses, preds, trues = [], [], []
+        buf = {"p": [], "d": [], "eta": [], "sp": [], "dp": [], "x": []}
+        for batch in loader.epoch(0):
+            x, y, mask, w = batch
+            logits, info = self.trainer.eval_step(self.state, batch,
+                                                  gating_value=gating_value)
+            logits = np.asarray(jax.device_get(logits))
+            keep = w > 0
+            ce = np.asarray(jax.device_get(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    jax.numpy.asarray(logits), jax.numpy.asarray(y))))
+            model_loss = float(jax.device_get(info.loss).mean()) \
+                if info.loss is not None else 0.0
+            losses.append(ce[keep] + model_loss)
+            preds.append(logits[keep])
+            trues.append(y[keep])
+            if collect:
+                info = jax.device_get(info)
+                buf["x"].append(x[keep])
+                if info.p is not None:
+                    buf["p"].append(np.asarray(info.p)[keep])
+                    buf["d"].append(np.asarray(info.d)[keep])
+                    buf["sp"].append(np.asarray(info.shapelet_preds)[keep])
+                if info.eta is not None:
+                    buf["eta"].append(np.asarray(info.eta)[keep])
+                    buf["dp"].append(np.asarray(info.dnn_preds)[keep])
+        if not losses:
+            return float("inf"), np.zeros((0, 1)), np.zeros((0,)), buf
+        return (float(np.concatenate(losses).mean()),
+                np.concatenate(preds), np.concatenate(trues), buf)
+
+    def validation(self):
+        """(reference exp:380-421)"""
+        loss, preds, trues, _ = self._eval_loader(self.val_loader)
+        if len(trues) == 0:
+            return float("inf"), 0.0
+        return loss, accuracy(np.argmax(preds, -1), trues)
+
+    # ------------------------------------------------------------------
+    def test(self, save_csv: bool = True, result_dir: Optional[str] = None):
+        """(reference exp:828-1138 + the dead-draft CSV spec exp:500-532)"""
+        cfg = self.cfg
+        if self.state is None:
+            self._init_state()
+        loss, preds, trues, buf = self._eval_loader(
+            self.test_loader, gating_value=cfg.gating_value, collect=True)
+        y_pred = np.argmax(preds, -1) if len(preds) else np.zeros((0,), int)
+        acc = accuracy(y_pred, trues)
+
+        result = ClassificationResult(
+            accuracy=acc, loss=loss, num_samples=len(trues),
+            x=np.concatenate(buf["x"]) if buf["x"] else None,
+            trues=trues, preds=preds,
+            p=np.concatenate(buf["p"]) if buf["p"] else None,
+            d=np.concatenate(buf["d"]) if buf["d"] else None,
+            eta=np.concatenate(buf["eta"]) if buf["eta"] else None,
+            shapelet_preds=np.concatenate(buf["sp"]) if buf["sp"] else None,
+            dnn_preds=np.concatenate(buf["dp"]) if buf["dp"] else None,
+        )
+
+        params = jax.device_get(self.state.params)
+        if cfg.model in ("SBM", "LTS", "InterpGN"):
+            sbm_params = params.get("sbm", params)
+            kernel = np.asarray(sbm_params["output_layer"]["kernel"])
+            result.w = kernel.T                    # torch layout (num_class, F)
+            result.shapelets = extract_shapelets(params)
+
+        metrics = {
+            "accuracy": acc * 100.0,
+            "loss": loss,
+            "num_samples": len(trues),
+            "class_distribution": class_distribution(trues, cfg.num_class)
+            if len(trues) else {},
+            "random_baseline": 100.0 / cfg.num_class,
+        }
+        self._log(f"Test accuracy {metrics['accuracy']:.2f}% "
+                  f"(random baseline {metrics['random_baseline']:.2f}%)")
+
+        df = None
+        if save_csv:
+            df = self._summary_frame(result, metrics)
+            out_dir = result_dir or os.path.join(cfg.result_dir, cfg.model)
+            os.makedirs(out_dir, exist_ok=True)
+            ts = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+            path = os.path.join(
+                out_dir, f"{cfg.dataset}-{cfg.seed}-{cfg.model}-"
+                         f"{cfg.num_shapelet}-{cfg.lambda_div}-{cfg.lambda_reg}-{ts}.csv")
+            df.to_csv(path, index=False)
+            self._log(f"Test summary saved at: {path}")
+        return loss, metrics, result if df is None else df
+
+    def _summary_frame(self, result: ClassificationResult, metrics: dict):
+        import pandas as pd
+        cfg = self.cfg
+        row = {k: getattr(cfg, k) for k in (
+            "model", "dataset", "dnn_type", "train_epochs", "num_shapelet",
+            "lambda_reg", "lambda_div", "epsilon", "lr", "seed", "pos_weight",
+            "beta_schedule", "gating_value", "distance_func", "sbm_cls")}
+        row["test_accuracy"] = result.accuracy
+        row["test_loss"] = result.loss
+        row["epoch_stop"] = self.epoch_stop
+        if result.eta is not None:
+            row["eta_mean"] = float(result.eta.mean())
+            row["eta_std"] = float(result.eta.std())
+        if result.w is not None:
+            w = result.w
+            if result.d is not None and len(result.trues):
+                row["shapelet_score"] = compute_shapelet_score(
+                    result.d, w, np.argmax(result.preds, -1), result.trues)
+            aw = np.abs(w)
+            for thr, tag in ((1.0, "10"), (0.5, "5"), (0.1, "1")):
+                row[f"w_sum_{tag}"] = float((aw > thr).sum())
+                row[f"w_mean_{tag}"] = float((aw > thr).mean())
+            row["w_max"] = float(aw.max())
+            row["w_gini_clip"] = gini_coefficient(np.clip(w, 0, None))
+            row["w_gini_abs"] = gini_coefficient(aw)
+        return pd.DataFrame({k: [v] for k, v in row.items()})

@@ -1,0 +1,192 @@
+"""Jitted training engine.
+
+TPU re-design of the reference train/validation loops
+(`exp/experiment_classification.py:295-421`): the whole optimizer step —
+forward (bf16 policy), loss (CE + model reg + beta-weighted SBM CE), backward,
+global-norm clip, Adam update, optional non-negative projection of the SBM
+classifier — is ONE compiled XLA program, optionally pjit-sharded over a
+device mesh (data-parallel batch axis; the reference's nn.DataParallel
+equivalent, SURVEY.md SS2.7).
+
+Key mappings:
+- torch.optim.Adam(lr)                  -> optax.adam with matching defaults
+- CosineAnnealingWarmRestarts(T_0=E)    -> per-epoch cosine schedule (lr_decay)
+- gradient_accumulation_steps           -> optax.MultiSteps
+- autocast(bf16)                        -> Config.compute_dtype policy in models
+- model.step() weight clamp             -> clamp_sbm_weights post-update
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from sie_tpu.config import Config
+from sie_tpu.models import build_model
+from sie_tpu.models.sbm import clamp_sbm_weights
+
+
+def compute_beta(epoch: int, max_epoch: int, schedule: str = "cosine") -> float:
+    """SBM-branch loss weight schedule (reference exp:19-26)."""
+    if schedule == "cosine":
+        return 0.5 * (1 + np.cos(np.pi * epoch / max_epoch))
+    if schedule == "linear":
+        return 1 - epoch / max_epoch
+    return 1.0
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    if cfg.lr_decay:
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return cfg.lr * 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.train_epochs))
+    else:
+        schedule = cfg.lr
+    chain = []
+    if cfg.gradient_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.gradient_clip))
+    chain.append(optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8))
+    tx = optax.chain(*chain)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx
+
+
+def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax.Array:
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def make_loss_fn(cfg: Config, apply_fn: Callable,
+                 loss_head: Optional[Callable] = None):
+    """loss_head(logits, labels, weights) -> scalar; defaults to weighted CE.
+
+    The regression experiment passes a CRPS head (reference
+    exp/experiment_regression.py:59-75)."""
+    head = loss_head or weighted_ce
+    is_interpgn = cfg.model == "InterpGN"
+
+    def loss_fn(params, batch_stats, batch, beta, train, rng):
+        x, y, mask, w = batch
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train:
+            (logits, info), new_vars = apply_fn(
+                variables, x, mask, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            new_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            logits, info = apply_fn(variables, x, mask, train=False)
+            new_stats = batch_stats
+        loss = head(logits, y, w)
+        if info.loss is not None:
+            loss = loss + jnp.mean(info.loss)
+        if is_interpgn:
+            loss = loss + beta * head(info.shapelet_preds, y, w)
+        return loss, (logits, info, new_stats)
+
+    return loss_fn
+
+
+class Trainer:
+    """Owns the model, optimizer, and the compiled train/eval steps."""
+
+    def __init__(self, cfg: Config, steps_per_epoch: int,
+                 loss_head: Optional[Callable] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        self.loss_fn = make_loss_fn(cfg, self.model.apply, loss_head)
+        self.mesh = mesh
+        self._train_step = None
+        self._eval_steps = {}
+
+    # ---- state ----------------------------------------------------------
+    def init_state(self, sample_batch, seed: int) -> TrainState:
+        x, _y, mask, _w = sample_batch
+        variables = self.model.init(
+            {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+            jnp.asarray(x), jnp.asarray(mask), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params),
+                           tx=self.tx, apply_fn=self.model.apply)
+        if self.mesh is not None:
+            from sie_tpu.parallel.mesh import shard_state
+            state = shard_state(state, self.mesh, self.cfg)
+        return state
+
+    # ---- compiled steps -------------------------------------------------
+    def train_step(self, state: TrainState, batch, beta):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        batch = self._device_batch(batch)
+        return self._train_step(state, batch, jnp.asarray(beta, jnp.float32))
+
+    def eval_step(self, state: TrainState, batch, gating_value=None):
+        if gating_value not in self._eval_steps:
+            self._eval_steps[gating_value] = self._build_eval_step(gating_value)
+        batch = self._device_batch(batch)
+        return self._eval_steps[gating_value](state, batch)
+
+    def _device_batch(self, batch):
+        batch = tuple(jnp.asarray(b) for b in batch)
+        if self.mesh is not None:
+            from sie_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def _build_train_step(self):
+        cfg = self.cfg
+        loss_fn = self.loss_fn
+
+        def step(state: TrainState, batch, beta):
+            rng = jax.random.fold_in(jax.random.key(cfg.seed + 17), state.step)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (logits, _info, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, beta, True, rng)
+            updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+            params = optax.apply_updates(state.params, updates)
+            if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
+                params = clamp_sbm_weights(params)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=new_stats,
+                                      opt_state=opt_state)
+            return new_state, loss, logits
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self, gating_value=None):
+        loss_fn = self.loss_fn
+
+        def step(state: TrainState, batch):
+            x, y, mask, w = batch
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits, info = state.apply_fn(variables, x, mask, train=False,
+                                          gating_value=gating_value)
+            return logits, info
+
+        return jax.jit(step)

@@ -1,0 +1,153 @@
+"""Data layer tests: .ts parsing, dense conversion, batching, preprocessing."""
+
+import numpy as np
+import pytest
+
+from sie_tpu.data.loader import ArrayDataset, Batcher, standardize
+from sie_tpu.data.synthetic import (write_synthetic_monash, write_synthetic_uea,
+                                    synthetic_eeg_trials, synthetic_textmaps)
+from sie_tpu.data.ts_parser import parse_ts_file, to_dense
+from sie_tpu.data.uea import load_uea_dataset
+from sie_tpu.data.monash import load_monash_dataset, make_bin_edges
+
+
+def test_ts_parser_roundtrip(tmp_path):
+    write_synthetic_uea(str(tmp_path), "Toy", n_train=8, n_test=4, n_dims=3,
+                        length=20, n_classes=2)
+    ts = parse_ts_file(str(tmp_path / "Toy" / "Toy_TRAIN.ts"))
+    assert ts.n_samples == 8
+    assert ts.n_dims == 3
+    assert ts.class_labels == ["c0", "c1"]
+    x, lengths, max_len = to_dense(ts)
+    assert x.shape == (8, 20, 3)
+    assert (lengths == 20).all()
+
+
+def test_ts_parser_missing_values(tmp_path):
+    p = tmp_path / "m.ts"
+    p.write_text("@problemName m\n@classLabel true a b\n@data\n"
+                 "1.0,?,3.0:4.0,5.0,6.0:a\n"
+                 "7.0,8.0,9.0:10.0,?,12.0:b\n")
+    ts = parse_ts_file(str(p))
+    x, lengths, _ = to_dense(ts)
+    # NaNs interpolated linearly
+    np.testing.assert_allclose(x[0, :, 0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(x[1, :, 1], [10.0, 11.0, 12.0])
+
+
+def test_uea_dataset_loading(tmp_path):
+    write_synthetic_uea(str(tmp_path), "Toy", n_train=10, n_test=6, n_dims=2,
+                        length=30, n_classes=3)
+    train = load_uea_dataset(str(tmp_path), "Toy", "train")
+    test = load_uea_dataset(str(tmp_path), "Toy", "test")
+    val = load_uea_dataset(str(tmp_path), "Toy", "val")
+    assert len(train) == 10 and len(test) == 6
+    assert val.x.shape == test.x.shape  # val == test (intended semantics)
+    assert train.num_class == 3
+    assert train.enc_in == 2
+    # standardized: near 0-mean/1-std per dim over the file
+    flat = train.x.reshape(-1, 2)
+    assert abs(flat.mean()) < 0.2
+
+
+def test_monash_dataset(tmp_path):
+    write_synthetic_monash(str(tmp_path), "ToyReg", n_train=10, n_test=5)
+    train = load_monash_dataset(str(tmp_path), "ToyReg", "train")
+    test = load_monash_dataset(str(tmp_path), "ToyReg", "test",
+                               bin_edges=train.bin_edges)
+    assert train.y.dtype == np.float32
+    assert len(train.bin_edges) == 10
+    assert train.bin_edges[-1] == np.inf
+    np.testing.assert_array_equal(train.bin_edges, test.bin_edges)
+
+
+def test_batcher_fixed_shapes():
+    n, t, c, b = 10, 8, 2, 4
+    ds = ArrayDataset(x=np.arange(n * t * c, dtype=np.float32).reshape(n, t, c),
+                      y=np.arange(n, dtype=np.int32),
+                      padding_mask=np.ones((n, t), np.float32))
+    batcher = Batcher(ds, b, shuffle=True, seed=3)
+    batches = list(batcher.epoch(0))
+    assert len(batches) == 3
+    seen = []
+    total_w = 0
+    for x, y, m, w in batches:
+        assert x.shape == (b, t, c) and y.shape == (b,) and w.shape == (b,)
+        seen.extend(y[w > 0].tolist())
+        total_w += w.sum()
+    assert sorted(seen) == list(range(n))  # every sample exactly once
+    assert total_w == n
+    # shuffling differs across epochs, stable within an epoch
+    e1 = [y.tolist() for _, y, _, _ in batcher.epoch(1)]
+    e1b = [y.tolist() for _, y, _, _ in batcher.epoch(1)]
+    assert e1 == e1b
+
+
+def test_standardize_uses_real_timesteps():
+    x = np.zeros((2, 4, 1), np.float32)
+    x[0, :2, 0] = [1.0, 3.0]
+    x[1, :4, 0] = [1.0, 3.0, 1.0, 3.0]
+    lengths = np.array([2, 4])
+    out, mean, std = standardize(x, lengths)
+    assert abs(mean[0] - 2.0) < 1e-6
+    assert out[0, 2:].sum() == 0  # padding stays zero
+
+
+def test_eeg_synthetic_pipeline(tmp_path):
+    from sie_tpu.config import Config
+    from sie_tpu.data.eeg import load_eeg_dataset, THREE_CATEGORY_MAP
+
+    cfg = Config(data="EEG3", data_root=str(tmp_path / "none"),
+                 cache_dir=str(tmp_path / "cache"), max_files=5,
+                 target_channels=16, target_timepoints=200, batch_size=8)
+    train = load_eeg_dataset(cfg, "train", three_class=True, synthetic=True)
+    val = load_eeg_dataset(cfg, "val", three_class=True, synthetic=True)
+    test = load_eeg_dataset(cfg, "test", three_class=True, synthetic=True)
+    target_t = int(200 * 256 / 500)
+    assert train.x.shape[1:] == (target_t, 16)
+    assert train.num_class == 3
+    assert set(np.concatenate([train.y, val.y, test.y])) <= {0, 1, 2}
+    # disjoint split covering everything
+    n = len(train) + len(val) + len(test)
+    assert len(val) >= 1 and len(test) >= 1
+    # per-channel z-scored
+    s = train.x[0].std(axis=0)
+    assert np.all(np.abs(s - 1.0) < 0.2)
+    assert set(THREE_CATEGORY_MAP.values()) == {0, 1, 2}
+    assert len(THREE_CATEGORY_MAP) == 39
+
+
+def test_eeg_loso_split(tmp_path):
+    from sie_tpu.config import Config
+    from sie_tpu.data.eeg import load_eeg_dataset
+
+    cfg = Config(data="EEG3", data_root=str(tmp_path / "none"),
+                 cache_dir=str(tmp_path / "cache2"), max_files=5,
+                 target_channels=8, target_timepoints=100, batch_size=8)
+    tr = load_eeg_dataset(cfg, "train", synthetic=True, loso_test_subject=0)
+    te = load_eeg_dataset(cfg, "test", synthetic=True, loso_test_subject=0)
+    assert (te.subject_ids == 0).all()
+    assert (tr.subject_ids != 0).all()
+
+
+def test_fourier_resample_matches_scipy(rng):
+    import scipy.signal
+    import jax.numpy as jnp
+    from sie_tpu.data.preprocess import fourier_resample
+
+    for n, m in [(100, 150), (101, 150), (100, 64), (101, 64), (100, 100)]:
+        x = rng.normal(size=(3, n)).astype(np.float32)
+        want = scipy.signal.resample(x.astype(np.float64), m, axis=-1)
+        got = np.asarray(fourier_resample(jnp.asarray(x), m, axis=-1))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_preprocess_trials_crop_and_scale():
+    import jax.numpy as jnp
+    from sie_tpu.data.preprocess import preprocess_trials
+
+    raw = np.random.default_rng(0).normal(0, 1e-5, (4, 20, 300))
+    out = np.asarray(preprocess_trials(jnp.asarray(raw), target_channels=16,
+                                       target_timepoints=150, normalize=False))
+    assert out.shape == (4, 16, 150)
+    np.testing.assert_allclose(out, raw[:, :16, :150] * 1e6, rtol=1e-4)

@@ -1,0 +1,98 @@
+"""End-to-end training tests on synthetic data (the minimum end-to-end slice
+from SURVEY.md SS7: .ts load -> collate -> SBM/InterpGN -> jitted train loop ->
+early stopping -> accuracy + CSV)."""
+
+import numpy as np
+import pytest
+
+from sie_tpu.config import Config
+from sie_tpu.data.synthetic import write_synthetic_uea
+from sie_tpu.train.experiment import Experiment
+from sie_tpu.train.trainer import compute_beta
+
+
+@pytest.fixture(scope="module")
+def uea_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("uea")
+    write_synthetic_uea(str(root), "Toy", n_train=32, n_test=16, n_dims=3,
+                        length=40, n_classes=2, seed=7)
+    return str(root)
+
+
+def small_cfg(uea_root, tmp_path, **kw):
+    base = dict(data="UEA", data_root=uea_root, dataset="Toy",
+                model="SBM", dnn_type="FCN", num_shapelet=3,
+                batch_size=8, train_epochs=8, patience=10, log_interval=100,
+                lr=5e-3, seed=0, amp=False, use_pallas=False,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                result_dir=str(tmp_path / "result"))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_sbm_learns_toy_problem(uea_root, tmp_path):
+    exp = Experiment(small_cfg(uea_root, tmp_path), verbose=False)
+    exp.train()
+    loss, metrics, df = exp.test(save_csv=True)
+    assert metrics["accuracy"] > 60.0  # well above the 50% baseline
+    # CSV summary written with the interpretability stats
+    assert "w_gini_abs" in df.columns
+    assert "shapelet_score" in df.columns
+    assert exp.has_checkpoint()
+
+
+def test_checkpoint_roundtrip(uea_root, tmp_path):
+    cfg = small_cfg(uea_root, tmp_path, train_epochs=2, seed=1)
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    _, m1, _ = exp.test(save_csv=False)
+
+    exp2 = Experiment(cfg, verbose=False)
+    assert exp2.load_checkpoint()
+    _, m2, _ = exp2.test(save_csv=False)
+    assert abs(m1["accuracy"] - m2["accuracy"]) < 1e-9
+
+
+def test_interpgn_trains(uea_root, tmp_path):
+    cfg = small_cfg(uea_root, tmp_path, model="InterpGN", dnn_type="FCN",
+                    train_epochs=3, beta_schedule="cosine", seed=2)
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    loss, metrics, res = exp.test(save_csv=False)
+    assert np.isfinite(loss)
+    assert res.eta is not None
+
+
+def test_dnn_trains(uea_root, tmp_path):
+    cfg = small_cfg(uea_root, tmp_path, model="DNN", dnn_type="FCN",
+                    train_epochs=3, seed=3)
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    loss, metrics, _ = exp.test(save_csv=False)
+    assert np.isfinite(loss)
+
+
+def test_pos_weight_clamps(uea_root, tmp_path):
+    cfg = small_cfg(uea_root, tmp_path, pos_weight=True, train_epochs=2, seed=4)
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    import jax
+    kernel = np.asarray(jax.device_get(
+        exp.state.params)["output_layer"]["kernel"])
+    assert (kernel >= 0).all()
+
+
+def test_grad_accumulation_runs(uea_root, tmp_path):
+    cfg = small_cfg(uea_root, tmp_path, gradient_accumulation_steps=2,
+                    gradient_clip=1.0, train_epochs=2, seed=5)
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    loss, metrics, _ = exp.test(save_csv=False)
+    assert np.isfinite(loss)
+
+
+def test_compute_beta_schedules():
+    assert compute_beta(0, 10, "cosine") == 1.0
+    assert abs(compute_beta(10, 10, "cosine")) < 1e-9
+    assert compute_beta(5, 10, "linear") == 0.5
+    assert compute_beta(7, 10, "constant") == 1.0
