@@ -51,11 +51,12 @@ def bench_ours() -> float:
     state = trainer.init_state(batch, seed=0)
     for _ in range(WARMUP):
         state, loss, _ = trainer.train_step(state, batch, 1.0)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))  # full sync (block_until_ready alone does not
+    # guarantee execution completion through the axon relay backend)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss, _ = trainer.train_step(state, batch, 1.0)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))  # chain-dependent final fetch = real wall time
     dt = (time.perf_counter() - t0) / ITERS
     print(f"[bench] ours: {dt * 1e3:.1f} ms/step (batch {BATCH}) "
           f"on {jax.default_backend()}", file=sys.stderr)

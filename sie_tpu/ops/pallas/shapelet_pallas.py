@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the L1 (mean-absolute) sliding shapelet distance —
+the hot op of the whole framework (SURVEY.md SS3.3: the reference's
+(B, W, n, C, L) broadcast at model/Shapelet.py:61-74).
+
+d[b, n, c, w] = (1/L) * sum_l |x[b, c, w*stride + l] - s[n, c, l]|
+
+Design:
+- grid (batch, window-tiles); each program holds one series row, the whole
+  shapelet bank, and an (n, WT, C) output tile in VMEM — zero HBM traffic for
+  intermediates (the reference materializes the full 5-D broadcast or falls
+  back to a Python window loop).
+- channels-last in-kernel layout (T, C) / (n, L, C) / (n, W, C): the dynamic
+  offsets of the sliding window land on the SUBLANE axis (Mosaic supports
+  dynamic sublane slices; dynamic lane slices it does not), and the channel
+  axis sits on vector lanes (122 -> one 128-lane tile).
+- x is padded host-side by one window-tile span so every pl.ds read is
+  in-bounds even for the zero-padded tail tile; tail writes are masked by
+  Pallas automatically, tail gradient contributions are masked explicitly.
+- forward: fori over l; each step is a fully-vectorized (n, WT, C) VPU op.
+- backward (custom VJP): fori over the tile's windows; accumulates the
+  (n, L, C) shapelet-gradient tile in place — no strided stores. grad_x is
+  zero by contract (parity with the reference's memory-efficient autograd,
+  Shapelet.py:40; the input is always instance-normalized data).
+- grad_s accumulation exploits the sequential TPU grid: every program adds
+  into the same output block, initialized by the first program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_TILE_ELEMS = 640 * 1024  # per-buffer cap (n * WT * C floats) ~ 2.5 MB
+
+
+def _window_tile(n: int, c: int, w: int) -> int:
+    wt = max(8, _MAX_TILE_ELEMS // max(n * c, 1))
+    wt = min(wt, w)
+    return -(-wt // 8) * 8  # round up to sublane multiple
+
+
+def _fwd_kernel(x_ref, s_ref, out_ref, *, stride: int):
+    # x_ref: (1, T_pad, C); s_ref: (n, L, C); out_ref: (1, n, WT, C)
+    n, l, c = s_ref.shape
+    wt = out_ref.shape[2]
+    span = (wt - 1) * stride + 1
+    w0 = pl.program_id(1) * wt
+
+    def body(li, acc):
+        xs = x_ref[0, pl.ds(w0 * stride + li, span), :]   # (span, C)
+        if stride > 1:
+            xs = xs[::stride, :]                          # (WT, C)
+        sl = s_ref[:, pl.ds(li, 1), :]                    # (n, 1, C)
+        return acc + jnp.abs(xs[None, :, :] - sl)
+
+    acc = jax.lax.fori_loop(0, l, body, jnp.zeros((n, wt, c), jnp.float32))
+    out_ref[0] = acc * (1.0 / l)
+
+
+def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, *, stride: int, w_total: int):
+    # x_ref: (1, T_pad, C); s_ref: (n, L, C); g_ref: (1, n, WT, C)
+    # out_ref: (n, L, C) — shared accumulator across the whole grid
+    n, l, c = s_ref.shape
+    wt = g_ref.shape[2]
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    w0 = j * wt
+    s = s_ref[:]
+
+    @pl.when((b == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(wi, acc):
+        xs = x_ref[0, pl.ds((w0 + wi) * stride, l), :]    # (L, C)
+        gw = g_ref[0, :, pl.ds(wi, 1), :]                 # (n, 1, C)
+        gw = jnp.where(w0 + wi < w_total, gw, 0.0)        # mask padded tail
+        return acc + jnp.sign(s - xs[None, :, :]) * gw
+
+    acc = jax.lax.fori_loop(0, wt, body, jnp.zeros((n, l, c), jnp.float32))
+    out_ref[:] += acc * (1.0 / l)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def l1_sliding_distance(x: jax.Array, s: jax.Array, stride: int = 1,
+                        interpret: bool | None = None) -> jax.Array:
+    """x (B, C, T), s (n, C, L) -> d (B, n, C, W) float32."""
+    return _l1_fwd(x, s, stride, interpret)
+
+
+def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
+    """(B, C, T) -> channels-last (B, T_pad, C) with enough tail padding that
+    every window read of the padded tail tile stays in bounds."""
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    pad = wt * stride + l
+    return jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
+
+
+def _l1_fwd(x, s, stride, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = (t - l) // stride + 1
+    wt = _window_tile(n, c, w)
+    nwt = -(-w // wt)
+    xt = _padded_x(x, wt, stride, l)
+    st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (n, L, C)
+    t_pad = xt.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, stride=stride),
+        out_shape=jax.ShapeDtypeStruct((b, n, w, c), jnp.float32),
+        grid=(b, nwt),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n * c * w * l,
+            bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, st)
+    return jnp.swapaxes(out, 2, 3)                       # (B, n, C, W)
+
+
+def _l1_fwd_rule(x, s, stride, interpret):
+    return _l1_fwd(x, s, stride, interpret), (x, s)
+
+
+def _l1_bwd_rule(stride, interpret, res, g):
+    x, s = res
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = g.shape[-1]
+    wt = _window_tile(n, c, w)
+    nwt = -(-w // wt)
+    xt = _padded_x(x, wt, stride, l)
+    st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (n, L, C)
+    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3)       # (B, n, W, C)
+    t_pad = xt.shape[1]
+    grad_st = pl.pallas_call(
+        functools.partial(_bwd_kernel, stride=stride, w_total=w),
+        out_shape=jax.ShapeDtypeStruct((n, l, c), jnp.float32),
+        grid=(b, nwt),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * c * w * l,
+            bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, st, gt)
+    grad_s = jnp.swapaxes(grad_st, 1, 2).astype(s.dtype)
+    return jnp.zeros_like(x), grad_s
+
+
+l1_sliding_distance.defvjp(_l1_fwd_rule, _l1_bwd_rule)
