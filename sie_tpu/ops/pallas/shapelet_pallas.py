@@ -43,21 +43,38 @@ def _window_tile(n: int, c: int, w: int) -> int:
     return -(-wt // 8) * 8  # round up to sublane multiple
 
 
+_L_CHUNK = 8  # l-loop unroll: one dynamic load per chunk, static sub-slices
+
+
 def _fwd_kernel(x_ref, s_ref, out_ref, *, stride: int):
     # x_ref: (1, T_pad, C); s_ref: (n, L, C); out_ref: (1, n, WT, C)
     n, l, c = s_ref.shape
     wt = out_ref.shape[2]
     span = (wt - 1) * stride + 1
     w0 = pl.program_id(1) * wt
+    ck = _L_CHUNK
 
-    def body(li, acc):
-        xs = x_ref[0, pl.ds(w0 * stride + li, span), :]   # (span, C)
+    def chunk_body(ci, acc):
+        base = ci * ck
+        # one dynamic-offset load per chunk; the k-offsets below are static
+        buf = x_ref[0, pl.ds(w0 * stride + base, span + ck - 1), :]
+        sch = s_ref[:, pl.ds(base, ck), :]                # (n, ck, C)
+        for k in range(ck):
+            xs = buf[k: k + span]
+            if stride > 1:
+                xs = xs[::stride, :]                      # (WT, C)
+            acc = acc + jnp.abs(xs[None, :, :] - sch[:, k: k + 1, :])
+        return acc
+
+    acc = jnp.zeros((n, wt, c), jnp.float32)
+    if l >= ck:
+        acc = jax.lax.fori_loop(0, l // ck, chunk_body, acc)
+    # static tail (L % chunk iterations)
+    for li in range(l - l % ck, l):
+        xs = x_ref[0, pl.ds(w0 * stride + li, span), :]
         if stride > 1:
-            xs = xs[::stride, :]                          # (WT, C)
-        sl = s_ref[:, pl.ds(li, 1), :]                    # (n, 1, C)
-        return acc + jnp.abs(xs[None, :, :] - sl)
-
-    acc = jax.lax.fori_loop(0, l, body, jnp.zeros((n, wt, c), jnp.float32))
+            xs = xs[::stride, :]
+        acc = acc + jnp.abs(xs[None, :, :] - s_ref[:, li: li + 1, :])
     out_ref[0] = acc * (1.0 / l)
 
 
@@ -75,13 +92,22 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, *, stride: int, w_total: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    def body(wi, acc):
-        xs = x_ref[0, pl.ds((w0 + wi) * stride, l), :]    # (L, C)
-        gw = g_ref[0, :, pl.ds(wi, 1), :]                 # (n, 1, C)
-        gw = jnp.where(w0 + wi < w_total, gw, 0.0)        # mask padded tail
-        return acc + jnp.sign(s - xs[None, :, :]) * gw
+    ck = _L_CHUNK
 
-    acc = jax.lax.fori_loop(0, wt, body, jnp.zeros((n, l, c), jnp.float32))
+    def chunk_body(ci, acc):
+        wbase = ci * ck
+        buf = x_ref[0, pl.ds((w0 + wbase) * stride, l + (ck - 1) * stride), :]
+        gch = g_ref[0, :, pl.ds(wbase, ck), :]            # (n, ck, C)
+        for k in range(ck):
+            xs = buf[k * stride: k * stride + l]          # (L, C), static slice
+            gw = gch[:, k: k + 1, :]
+            gw = jnp.where(w0 + wbase + k < w_total, gw, 0.0)
+            acc = acc + jnp.sign(s - xs[None, :, :]) * gw
+        return acc
+
+    # wt is a multiple of _L_CHUNK (see _window_tile: rounded to 8)
+    acc = jax.lax.fori_loop(0, wt // ck, chunk_body,
+                            jnp.zeros((n, l, c), jnp.float32))
     out_ref[:] += acc * (1.0 / l)
 
 
