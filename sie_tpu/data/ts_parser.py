@@ -45,7 +45,20 @@ class TsFile:
         return len(self.series)
 
 
-def parse_ts_file(path: str) -> TsFile:
+def parse_ts_file(path: str, use_native: bool = True) -> TsFile:
+    """Parse a .ts archive. Uses the native C++ scanner
+    (sie_tpu/native/ts_scan.cpp) when available — ~20x faster on the big UEA
+    archives — with this pure-Python implementation as the reference fallback.
+    Set SIE_TPU_NO_NATIVE=1 to force the Python path."""
+    if use_native and not os.environ.get("SIE_TPU_NO_NATIVE"):
+        from sie_tpu.data.native import parse_ts_file_fast
+        parsed = parse_ts_file_fast(path)
+        if parsed is not None:
+            return parsed
+    return _parse_ts_file_py(path)
+
+
+def _parse_ts_file_py(path: str) -> TsFile:
     series: List[List[np.ndarray]] = []
     labels: List[str] = []
     class_labels: Optional[List[str]] = None
