@@ -132,12 +132,14 @@ class Experiment:
     def _eval_loader(self, loader, gating_value=None, collect=False):
         losses, preds, trues = [], [], []
         buf = {"p": [], "d": [], "eta": [], "sp": [], "dp": [], "x": []}
+        num_class = self.cfg.num_class
         for batch in loader.epoch(0):
             x, y, mask, w = batch
             logits, info = self.trainer.eval_step(self.state, batch,
                                                   gating_value=gating_value)
             logits = np.asarray(jax.device_get(logits))
-            keep = w > 0
+            # defensive label filtering (reference exp:906-929)
+            keep = (w > 0) & (y >= 0) & (y < num_class)
             ce = np.asarray(jax.device_get(
                 optax.softmax_cross_entropy_with_integer_labels(
                     jax.numpy.asarray(logits), jax.numpy.asarray(y))))
