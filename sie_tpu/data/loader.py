@@ -98,6 +98,27 @@ class Batcher:
             yield (self.ds.x[idx], self.ds.y[idx],
                    self.ds.padding_mask[idx], w)
 
+    def epoch_indices(self, epoch: Optional[int] = None):
+        """Index/weight pairs for the device-resident data path: the data stays
+        in HBM; only (B,) int32 indices cross the host boundary per step."""
+        n = len(self.ds)
+        b = self.batch_size
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            order = rng.permutation(n).astype(np.int32)
+        else:
+            order = np.arange(n, dtype=np.int32)
+        for i in range(len(self)):
+            idx = order[i * b:(i + 1) * b]
+            w = np.ones((len(idx),), np.float32)
+            if len(idx) < b:
+                idx = np.concatenate([idx, np.zeros((b - len(idx),), np.int32)])
+                w = np.concatenate([w, np.zeros((b - len(w),), np.float32)])
+            yield idx, w
+
     def __iter__(self):
         return self.epoch()
 

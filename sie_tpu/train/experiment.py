@@ -59,6 +59,11 @@ class Experiment:
                                            cfg.checkpoint_key())
         self.epoch_stop = 0
         self.state = None
+        # device-resident data path: whole splits live in HBM, batches are
+        # gathered on-device (single-device only; mesh path feeds per host)
+        total_bytes = sum(d.x.nbytes for d in
+                          (self.train_data, self.val_data, self.test_data))
+        self.device_resident = mesh is None and total_bytes < 4 * 1024 ** 3
 
     def _log(self, msg: str):
         if self.verbose:
@@ -78,13 +83,21 @@ class Experiment:
                 jax.device_get(self.state.batch_stats))
         t0 = time.time()
 
+        dev_train = (self.trainer.device_data("train", self.train_data)
+                     if self.device_resident else None)
         for epoch in range(cfg.train_epochs):
             beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
             losses = []
-            for batch in self.train_loader.epoch(epoch):
-                self.state, loss, _logits = self.trainer.train_step(
-                    self.state, batch, beta)
-                losses.append(loss)
+            if dev_train is not None:
+                for idx, w in self.train_loader.epoch_indices(epoch):
+                    self.state, loss, _logits = self.trainer.train_step_indexed(
+                        self.state, dev_train, idx, w, beta)
+                    losses.append(loss)
+            else:
+                for batch in self.train_loader.epoch(epoch):
+                    self.state, loss, _logits = self.trainer.train_step(
+                        self.state, batch, beta)
+                    losses.append(loss)
             if not losses:
                 continue
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
@@ -133,10 +146,21 @@ class Experiment:
         losses, preds, trues = [], [], []
         buf = {"p": [], "d": [], "eta": [], "sp": [], "dp": [], "x": []}
         num_class = self.cfg.num_class
-        for batch in loader.epoch(0):
-            x, y, mask, w = batch
-            logits, info = self.trainer.eval_step(self.state, batch,
-                                                  gating_value=gating_value)
+        dev = None
+        if self.device_resident:
+            tag = "val" if loader is self.val_loader else "test"
+            dev = self.trainer.device_data(tag, loader.ds)
+        for bi, batch_idx in enumerate(loader.epoch_indices(0)):
+            idx, w = batch_idx
+            x = loader.ds.x[idx]
+            y = loader.ds.y[idx]
+            if dev is not None:
+                logits, info = self.trainer.eval_step_indexed(
+                    self.state, dev, idx, gating_value=gating_value)
+            else:
+                batch = (x, y, loader.ds.padding_mask[idx], w)
+                logits, info = self.trainer.eval_step(
+                    self.state, batch, gating_value=gating_value)
             logits = np.asarray(jax.device_get(logits))
             # defensive label filtering (reference exp:906-929)
             keep = (w > 0) & (y >= 0) & (y < num_class)

@@ -118,6 +118,9 @@ class Trainer:
         self.mesh = mesh
         self._train_step = None
         self._eval_steps = {}
+        self._train_step_idx = None
+        self._eval_steps_idx = {}
+        self._dev_data = {}
 
     # ---- state ----------------------------------------------------------
     def init_state(self, sample_batch, seed: int) -> TrainState:
@@ -190,3 +193,61 @@ class Trainer:
             return logits, info
 
         return jax.jit(step)
+
+    # ---- device-resident data path ---------------------------------------
+    # TPU-first input pipeline: the whole split lives in HBM once and batches
+    # are gathered on-device from an index vector — per-step host->device
+    # traffic drops from the full batch (tens of MB) to a few hundred bytes.
+    # (The reference re-collates and re-uploads every batch via DataLoader.)
+    # Used on a single device; the mesh path keeps host feeding (per-host
+    # sharded feeding is the multi-host deployment model).
+
+    def device_data(self, tag: str, ds) -> Tuple[jax.Array, ...]:
+        if tag not in self._dev_data:
+            self._dev_data[tag] = (jnp.asarray(ds.x), jnp.asarray(ds.y),
+                                   jnp.asarray(ds.padding_mask))
+        return self._dev_data[tag]
+
+    def train_step_indexed(self, state: TrainState, dev_data, idx, w, beta):
+        if self._train_step_idx is None:
+            cfg = self.cfg
+            loss_fn = self.loss_fn
+
+            def step(state: TrainState, data, idx, w, beta):
+                x, y, mask = (leaf[idx] for leaf in data)
+                batch = (x, y, mask, w)
+                rng = jax.random.fold_in(jax.random.key(cfg.seed + 17),
+                                         state.step)
+                grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+                (loss, (logits, _info, new_stats)), grads = grad_fn(
+                    state.params, state.batch_stats, batch, beta, True, rng)
+                updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                     state.params)
+                params = optax.apply_updates(state.params, updates)
+                if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
+                    params = clamp_sbm_weights(params)
+                new_state = state.replace(step=state.step + 1, params=params,
+                                          batch_stats=new_stats,
+                                          opt_state=opt_state)
+                return new_state, loss, logits
+
+            self._train_step_idx = jax.jit(step, donate_argnums=(0,))
+        return self._train_step_idx(state, dev_data, jnp.asarray(idx),
+                                    jnp.asarray(w),
+                                    jnp.asarray(beta, jnp.float32))
+
+    def eval_step_indexed(self, state: TrainState, dev_data, idx,
+                          gating_value=None):
+        if gating_value not in self._eval_steps_idx:
+            def step(state: TrainState, data, idx):
+                x, y, mask = (leaf[idx] for leaf in data)
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                logits, info = state.apply_fn(variables, x, mask, train=False,
+                                              gating_value=gating_value)
+                return logits, info
+
+            self._eval_steps_idx[gating_value] = jax.jit(step)
+        return self._eval_steps_idx[gating_value](state, dev_data,
+                                                  jnp.asarray(idx))
