@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Preprocessing throughput: batched jitted JAX chain vs a reference-style
+per-trial numpy/scipy loop (BASELINE.md target: >=10x preprocessing
+throughput). Prints trials/sec for both and the speedup."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def reference_style_loop(raw, target_channels=122, target_timepoints=845):
+    """Per-trial host pipeline with the reference's semantics
+    (eeg_processor.py:258-381: identity decimate -> channel crop/pad -> time
+    crop -> x1e6 -> float32), then the per-sample pandas-style z-score
+    (eeg.py:352-367)."""
+    import pandas as pd
+    out = []
+    for trial in raw:
+        x = trial.copy()
+        # identity downsample (decimate q=1 fallback)
+        idx = np.arange(0, x.shape[1], 1)
+        x = x[:, idx]
+        c = x.shape[0]
+        if c > target_channels:
+            x = x[:target_channels]
+        elif c < target_channels:
+            x = np.pad(x, ((0, target_channels - c), (0, 0)))
+        if x.shape[1] > target_timepoints:
+            x = x[:, :target_timepoints]
+        x = (x * 1e6).astype(np.float32)
+        # intended per-channel z-score over time (the literal reference code —
+        # Normalizer('per_sample_std') on a (C, T) frame, eeg.py:352-367 —
+        # groups single rows and returns all-NaN; see PARITY.md)
+        df = pd.DataFrame(x)
+        x = df.sub(df.mean(axis=1), axis=0).div(df.std(axis=1), axis=0).values
+        out.append(x.astype(np.float32))
+    return np.stack(out)
+
+
+def main():
+    import jax
+    from sie_tpu.data.preprocess import preprocess_trials_host
+
+    n, c_raw, t_raw = 256, 125, 1651
+    raw = np.random.default_rng(0).normal(0, 1e-5, (n, c_raw, t_raw))
+
+    # ours: one jitted batched XLA:CPU program (raw data never crosses the
+    # accelerator link; the small f32 result is uploaded once by training)
+    out = np.asarray(preprocess_trials_host(raw, 122, 845))  # warm compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = np.asarray(preprocess_trials_host(raw, 122, 845))
+    ours = n * reps / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    ref = reference_style_loop(raw[:64])
+    theirs = 64 / (time.perf_counter() - t0)
+
+    np.testing.assert_allclose(out[:64], ref, rtol=2e-4, atol=1e-4)
+    print(f"jitted batched preprocessing: {ours:,.0f} trials/sec (XLA:CPU host)")
+    print(f"reference-style host loop:    {theirs:,.0f} trials/sec")
+    print(f"speedup: {ours / theirs:.1f}x single-pass "
+          f"(~{3 * ours / theirs:.0f}x vs the reference experiment, which "
+          f"re-runs preprocessing for each of the 3 split flags)")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ import numpy as np
 
 from sie_tpu.config import Config
 from sie_tpu.data.loader import ArrayDataset
-from sie_tpu.data.preprocess import preprocess_trials, validate_trials
+from sie_tpu.data.preprocess import preprocess_trials_host, validate_trials
 
 # reference eeg_processor.py:455-461 — 39-class id -> 3-category bucket
 THREE_CATEGORY_MAP = {
@@ -131,10 +131,11 @@ def process_trials(raw: np.ndarray, text_labels: Sequence[str],
     keep = y >= 0
     raw, y, subjects = raw[keep], y[keep], subjects[keep]
 
-    # batched, jitted preprocessing on device
+    # batched, jitted preprocessing (host CPU backend — see
+    # preprocess_trials_host for why the raw trials stay off the accelerator)
     out = []
     for i in range(0, len(raw), batch):
-        out.append(np.asarray(preprocess_trials(
+        out.append(np.asarray(preprocess_trials_host(
             raw[i:i + batch], cfg.target_channels, target_t)))
     x = np.concatenate(out, axis=0) if out else np.zeros(
         (0, cfg.target_channels, target_t), np.float32)

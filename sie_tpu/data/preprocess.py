@@ -66,6 +66,22 @@ def _crop_or_pad_axis(x: jax.Array, target: int, axis: int) -> jax.Array:
     return x
 
 
+def preprocess_trials_host(raw, target_channels: int = 122,
+                           target_timepoints: int = 845,
+                           resample_short: bool = True,
+                           normalize: bool = True):
+    """Run the batched preprocessing program on the HOST CPU backend: the raw
+    float64 trials never cross the accelerator link (which would dominate —
+    the processed float32 output is ~4x smaller and is uploaded once by the
+    device-resident training pipeline). One fused XLA:CPU program still
+    replaces the reference's N_trials x 5 numpy/pandas passes."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        raw32 = jnp.asarray(np.asarray(raw, dtype=np.float32))
+        return preprocess_trials(raw32, target_channels, target_timepoints,
+                                 resample_short, normalize)
+
+
 @functools.partial(jax.jit, static_argnames=("target_channels",
                                              "target_timepoints",
                                              "resample_short", "normalize"))
