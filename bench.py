@@ -58,10 +58,12 @@ def bench_ours() -> float:
     dev = trainer.device_data("bench", ds)
     w = np.ones((BATCH,), np.float32)
     idxs = [rng.integers(0, n, BATCH).astype(np.int32) for _ in range(ITERS)]
+    print("[bench] state initialized; compiling train step...", file=sys.stderr)
     for _ in range(WARMUP):
         state, loss, _ = trainer.train_step_indexed(state, dev, idxs[0], w, 1.0)
     float(jax.device_get(loss))  # full sync (block_until_ready alone does not
     # guarantee execution completion through the axon relay backend)
+    print("[bench] warmup done; timing...", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, loss, _ = trainer.train_step_indexed(state, dev, idxs[i], w, 1.0)

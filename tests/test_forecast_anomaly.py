@@ -1,0 +1,77 @@
+"""Forecast / anomaly / M4 loader tests (capability-parity branches)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sie_tpu.data.anomaly import load_segments
+from sie_tpu.data.forecast import load_forecast_csv, load_m4_csv
+
+
+def _write_csv(path, n=400, c=3):
+    rng = np.random.default_rng(0)
+    dates = pd.date_range("2020-01-01", periods=n, freq="h")
+    df = pd.DataFrame({"date": dates})
+    for i in range(c - 1):
+        df[f"f{i}"] = rng.normal(size=n)
+    df["OT"] = rng.normal(size=n)
+    df.to_csv(path, index=False)
+
+
+def test_forecast_custom_splits(tmp_path):
+    p = tmp_path / "series.csv"
+    _write_csv(p, n=400)
+    size = (48, 24, 24)
+    tr = load_forecast_csv(str(p), "train", size)
+    va = load_forecast_csv(str(p), "val", size)
+    te = load_forecast_csv(str(p), "test", size)
+    assert len(tr) > 0 and len(va) > 0 and len(te) > 0
+    x, y, xm, ym = tr[0]
+    assert x.shape == (48, 3) and y.shape == (48, 3)
+    assert xm.shape == (48, 4)  # hourly -> 4 time features
+    # standardized on train
+    assert abs(tr.data.mean()) < 0.2
+
+
+def test_forecast_univariate(tmp_path):
+    p = tmp_path / "series.csv"
+    _write_csv(p)
+    tr = load_forecast_csv(str(p), "train", (24, 12, 12), features="S")
+    x, y, _, _ = tr[0]
+    assert x.shape == (24, 1)
+
+
+def test_forecast_inverse_transform(tmp_path):
+    p = tmp_path / "series.csv"
+    _write_csv(p)
+    tr = load_forecast_csv(str(p), "train", (24, 12, 12))
+    x, _, _, _ = tr[0]
+    rt = (tr.inverse_transform(x) - tr.mean) / tr.std
+    np.testing.assert_allclose(rt, x, rtol=1e-4, atol=1e-5)
+
+
+def test_m4_dataset(tmp_path):
+    p = tmp_path / "m4.csv"
+    rng = np.random.default_rng(1)
+    rows = {"V1": [f"S{i}" for i in range(5)]}
+    for j in range(60):
+        rows[f"c{j}"] = rng.normal(size=5)
+    pd.DataFrame(rows).to_csv(p, index=False)
+    ds = load_m4_csv(str(p), seq_len=30, pred_len=6)
+    assert len(ds) == 5
+    ins, outs = ds[0]
+    assert ins.shape == (30,) and outs.shape == (6,)
+
+
+def test_anomaly_segments(tmp_path):
+    rng = np.random.default_rng(2)
+    np.save(tmp_path / "SMD_train.npy", rng.normal(size=(500, 8)))
+    np.save(tmp_path / "SMD_test.npy", rng.normal(size=(300, 8)))
+    np.save(tmp_path / "SMD_test_label.npy",
+            rng.integers(0, 2, 300).astype(np.float32))
+    tr = load_segments(str(tmp_path), "SMD", "train", win_size=100, step=50)
+    te = load_segments(str(tmp_path), "SMD", "test", win_size=100)
+    assert len(tr) == (500 - 100) // 50 + 1
+    w, lab = te[0]
+    assert w.shape == (100, 8) and lab.shape == (100,)
+    assert abs(tr.values.mean()) < 0.1  # standardized on train
