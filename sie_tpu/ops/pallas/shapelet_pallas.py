@@ -34,12 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_TILE_ELEMS = 640 * 1024  # per-buffer cap (n * WT * C floats) ~ 2.5 MB
+_MAX_TILE_ELEMS = 1280 * 1024  # per-buffer cap (n * WT * C floats) ~ 5 MB
 
 
 def _window_tile(n: int, c: int, w: int) -> int:
-    wt = max(8, _MAX_TILE_ELEMS // max(n * c, 1))
-    wt = min(wt, w)
+    """Window-tile size: fits the VMEM budget AND balances the tiles so the
+    padded tail is minimal (an unbalanced split wastes up to ~40% compute)."""
+    wt_max = max(8, _MAX_TILE_ELEMS // max(n * c, 1))
+    n_tiles = -(-w // wt_max)
+    wt = -(-w // n_tiles)
     return -(-wt // 8) * 8  # round up to sublane multiple
 
 
