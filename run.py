@@ -149,6 +149,18 @@ def main(argv=None):
             from sie_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(cfg)
 
+        if args.loso and args.data in ("EEG", "EEG3"):
+            from sie_tpu.parallel.loso import run_loso
+            fold_results = run_loso(cfg, mesh=mesh)
+            accs = [r["accuracy"] for r in fold_results]
+            import numpy as np
+            print(f"LOSO ({len(accs)} folds): accuracy "
+                  f"{np.mean(accs):.2f} +/- {np.std(accs):.2f}")
+            all_results.append((seed, None, {"accuracy": float(np.mean(accs)),
+                                             "random_baseline": 100.0 / 3,
+                                             "per_fold": fold_results}))
+            continue
+
         if args.task_name == "regression":
             from sie_tpu.train.regression import RegressionExperiment
             experiment = RegressionExperiment(cfg, mesh=mesh)
