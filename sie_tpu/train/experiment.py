@@ -112,7 +112,9 @@ class Experiment:
                 if improved:
                     best = (jax.device_get(self.state.params),
                             jax.device_get(self.state.batch_stats))
-                    ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1])
+                    ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1],
+                                         meta={"epoch_stop": epoch,
+                                               "val_accuracy": float(val_acc)})
             if early.early_stop:
                 self._log("Early stopping")
                 self.epoch_stop = epoch
@@ -136,6 +138,8 @@ class Experiment:
         self.state = self.state.replace(
             params=jax.device_put(restored["params"]),
             batch_stats=jax.device_put(restored["batch_stats"]))
+        self.epoch_stop = ckpt.load_meta(self.checkpoint_dir).get(
+            "epoch_stop", self.epoch_stop)
         return True
 
     def has_checkpoint(self) -> bool:
