@@ -26,7 +26,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 # CHISCO workload constants
 SEQ_LEN, ENC_IN, NUM_CLASS, BATCH = 845, 122, 3, 64
-WARMUP, ITERS = 2, 10
+WARMUP, ITERS = 3, 20
 
 
 def bench_ours() -> float:

@@ -105,7 +105,10 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, *, stride: int, w_total: int):
             xs = buf[k * stride: k * stride + l]          # (L, C), static slice
             gw = gch[:, k: k + 1, :]
             gw = jnp.where(w0 + wbase + k < w_total, gw, 0.0)
-            acc = acc + jnp.sign(s - xs[None, :, :]) * gw
+            # d|s-x|/ds * g == select(s > x, g, -g); exact ties contribute g
+            # instead of sign's 0 — measure-zero for continuous data, and the
+            # reference's own two autograd paths already disagree there.
+            acc = acc + jnp.where(s > xs[None, :, :], gw, -gw)
         return acc
 
     # wt is a multiple of _L_CHUNK (see _window_tile: rounded to 8)
