@@ -117,6 +117,8 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--result_dir", type=str, default="./result")
     p.add_argument("--cache_dir", type=str, default="./cache")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler (XProf) trace of training here")
     return p.parse_args(argv)
 
 
@@ -173,7 +175,9 @@ def main(argv=None):
                 print("checkpoint exists — skipping training")
                 experiment.load_checkpoint()
             else:
-                experiment.train()
+                from sie_tpu.utils.profiling import trace
+                with trace(args.profile_dir):
+                    experiment.train()
         else:
             if not experiment.load_checkpoint():
                 print("warning: no checkpoint found; testing a fresh model")
