@@ -51,3 +51,48 @@ def load_checkpoint(ckpt_dir: str, template: Any) -> Optional[Any]:
 
 def has_checkpoint(ckpt_dir: str) -> bool:
     return os.path.exists(checkpoint_path(ckpt_dir))
+
+
+# ---- full-state resume (beyond the reference's best-params-only scheme) ----
+
+FULL_STATE_NAME = "train_state.msgpack"
+
+
+def save_train_state(ckpt_dir: str, state, epoch: int, early_state: dict):
+    """Snapshot params + batch_stats + optimizer state + loop position so an
+    interrupted run resumes exactly (the reference can only restart from the
+    best params with a fresh optimizer, utils/tools.py:34-38)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": epoch,
+        "early": early_state,
+    }
+    with open(os.path.join(ckpt_dir, FULL_STATE_NAME), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_train_state(ckpt_dir: str, state):
+    """Returns (state, epoch, early_state) or None."""
+    path = os.path.join(ckpt_dir, FULL_STATE_NAME)
+    if not os.path.exists(path):
+        return None
+    template = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": 0,
+        "early": {"best_score": 0.0, "counter": 0, "has_best": False},
+    }
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    state = state.replace(
+        step=jax.device_put(payload["step"]),
+        params=jax.device_put(payload["params"]),
+        batch_stats=jax.device_put(payload["batch_stats"]),
+        opt_state=jax.device_put(payload["opt_state"]))
+    return state, int(payload["epoch"]), payload["early"]

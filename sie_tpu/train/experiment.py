@@ -74,18 +74,37 @@ class Experiment:
         self.state = self.trainer.init_state(sample, seed=max(self.cfg.seed, 0))
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, resume: bool = False, snapshot_every: int = 0):
+        """resume=True continues an interrupted run from the full-state
+        snapshot (optimizer + loop position) — beyond the reference's
+        best-params-only restart. snapshot_every=k writes the snapshot every
+        k epochs (0 = off)."""
         cfg = self.cfg
         if self.state is None:
             self._init_state()
         early = EarlyStopping(patience=cfg.patience)
-        best = (jax.device_get(self.state.params),
-                jax.device_get(self.state.batch_stats))
+        start_epoch = 0
+        best = None
+        if resume:
+            restored = ckpt.load_train_state(self.checkpoint_dir, self.state)
+            if restored is not None:
+                self.state, start_epoch, early_state = restored
+                early.load_state_dict(early_state)
+                self._log(f"resumed at epoch {start_epoch}")
+                # best-so-far params live in the best-checkpoint file
+                template = {"params": jax.device_get(self.state.params),
+                            "batch_stats": jax.device_get(self.state.batch_stats)}
+                best_ckpt = ckpt.load_checkpoint(self.checkpoint_dir, template)
+                if best_ckpt is not None:
+                    best = (best_ckpt["params"], best_ckpt["batch_stats"])
+        if best is None:
+            best = (jax.device_get(self.state.params),
+                    jax.device_get(self.state.batch_stats))
         t0 = time.time()
 
         dev_train = (self.trainer.device_data("train", self.train_data)
                      if self.device_resident else None)
-        for epoch in range(cfg.train_epochs):
+        for epoch in range(start_epoch, cfg.train_epochs):
             beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
             losses = []
             if dev_train is not None:
@@ -115,6 +134,9 @@ class Experiment:
                     ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1],
                                          meta={"epoch_stop": epoch,
                                                "val_accuracy": float(val_acc)})
+            if snapshot_every and (epoch + 1) % snapshot_every == 0:
+                ckpt.save_train_state(self.checkpoint_dir, self.state,
+                                      epoch + 1, early.state_dict())
             if early.early_stop:
                 self._log("Early stopping")
                 self.epoch_stop = epoch

@@ -33,6 +33,16 @@ class EarlyStopping:
                 self.early_stop = True
         return self.improved
 
+    def state_dict(self) -> dict:
+        return {"best_score": float(self.best_score or 0.0),
+                "counter": int(self.counter),
+                "has_best": self.best_score is not None}
+
+    def load_state_dict(self, state: dict):
+        self.best_score = state["best_score"] if state.get("has_best") else None
+        self.counter = int(state["counter"])
+        self.early_stop = self.counter >= self.patience
+
 
 def convert_to_hms(seconds: float) -> str:
     total = int(seconds)
