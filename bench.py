@@ -139,9 +139,48 @@ def get_baseline() -> float:
     return val
 
 
+def bench_eegcnn() -> float:
+    """Secondary config (BASELINE.md #3): EEGCNN(+Transformer) on CHISCO shapes."""
+    import jax
+    from sie_tpu.config import Config
+    from sie_tpu.data.loader import ArrayDataset
+    from sie_tpu.train.trainer import Trainer
+
+    cfg = Config(data="EEG3", model="EEGCNN", seq_len=SEQ_LEN, enc_in=ENC_IN,
+                 num_class=NUM_CLASS, batch_size=BATCH, amp=True, seed=0)
+    rng = np.random.default_rng(0)
+    n = 2 * BATCH
+    ds = ArrayDataset(
+        x=rng.normal(size=(n, SEQ_LEN, ENC_IN)).astype(np.float32),
+        y=rng.integers(0, NUM_CLASS, n).astype(np.int32),
+        padding_mask=np.ones((n, SEQ_LEN), np.float32))
+    batch = (ds.x[:BATCH], ds.y[:BATCH], ds.padding_mask[:BATCH],
+             np.ones((BATCH,), np.float32))
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state(batch, seed=0)
+    dev = trainer.device_data("bench_eegcnn", ds)
+    w = np.ones((BATCH,), np.float32)
+    idx = np.arange(BATCH, dtype=np.int32)
+    for _ in range(WARMUP):
+        state, loss, _ = trainer.train_step_indexed(state, dev, idx, w, 1.0)
+    float(jax.device_get(loss))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss, _ = trainer.train_step_indexed(state, dev, idx, w, 1.0)
+    float(jax.device_get(loss))
+    return BATCH / ((time.perf_counter() - t0) / ITERS)
+
+
 def main():
     ours = bench_ours()
     baseline = get_baseline()
+    extra = {}
+    try:
+        extra["eegcnn_train_samples_per_sec"] = round(bench_eegcnn(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] eegcnn secondary failed: {e}", file=sys.stderr)
+    with open(os.path.join(REPO, "bench_extra.json"), "w") as f:
+        json.dump(extra, f)
     print(json.dumps({
         "metric": "ign_train_samples_per_sec",
         "value": round(ours, 2),

@@ -12,7 +12,7 @@ experiment once the dataset is loaded (reference
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

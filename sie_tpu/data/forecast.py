@@ -16,7 +16,6 @@ StandardScaler usage) and calendar time-features from utils/timefeatures.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 

@@ -7,7 +7,6 @@ last +inf, keep edges[1:]) and shared to val/test (data_loader.py:798-810).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

@@ -9,8 +9,6 @@ band-limited oscillations + pink-ish noise so models can actually learn.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
-
 import numpy as np
 
 

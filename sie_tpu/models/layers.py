@@ -10,7 +10,7 @@ FEDformer blocks) are intentionally omitted (SURVEY.md SS2.4).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ time, eps 1e-5).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

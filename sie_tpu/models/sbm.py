@@ -20,7 +20,7 @@ TPU shapelet ops in `sie_tpu.ops.shapelet`:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,6 @@ the same FLOPs as the reference Conv2d, executed as a lax.scan over taps.
 
 from __future__ import annotations
 
-import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -38,8 +38,6 @@ is lossless.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

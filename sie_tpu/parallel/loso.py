@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import numpy as np
-
 from sie_tpu.config import Config
 
 

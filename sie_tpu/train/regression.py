@@ -127,6 +127,22 @@ class RegressionExperiment:
                                         batch_stats=jax.device_put(best[1]))
         return self.state
 
+    def load_checkpoint(self) -> bool:
+        if self.state is None:
+            self._init_state()
+        template = {"params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats)}
+        restored = ckpt.load_checkpoint(self.checkpoint_dir, template)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=jax.device_put(restored["params"]),
+            batch_stats=jax.device_put(restored["batch_stats"]))
+        return True
+
+    def has_checkpoint(self) -> bool:
+        return ckpt.has_checkpoint(self.checkpoint_dir)
+
     def _loader_loss(self, loader, gating_value=None, collect=False):
         losses, buf = [], {"x": [], "pred": [], "target": [], "p": [], "d": [],
                            "eta": [], "sp": []}

@@ -18,7 +18,6 @@ Key mappings:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
