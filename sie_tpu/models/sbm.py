@@ -39,6 +39,40 @@ from sie_tpu.ops.shapelet import (
 )
 
 
+def _mesh_aware_distance(xn: jax.Array, bank: jax.Array, stride: int,
+                         metric: str, use_pallas: bool) -> jax.Array:
+    """Sliding distance, explicitly shard_mapped over the active mesh.
+
+    The op is embarrassingly parallel over the batch ('data' axis) and the
+    shapelet index ('model' axis) — no collectives. GSPMD cannot partition a
+    pallas_call (it is an opaque custom call and would be replicated with
+    all-gathered inputs), so when the Trainer has a mesh active we map shards
+    explicitly; each shard runs the kernel on its (B/dp, n/mp) block.
+    """
+    from sie_tpu.parallel.mesh import active_mesh
+    mesh = active_mesh()
+    if mesh is not None:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        data_ax = ("data" if sizes.get("data", 1) > 1
+                   and xn.shape[0] % sizes["data"] == 0 else None)
+        model_ax = ("model" if sizes.get("model", 1) > 1
+                    and bank.shape[0] % sizes["model"] == 0 else None)
+        if data_ax or model_ax:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            fn = lambda xs, bs: sliding_distance(xs, bs, stride, metric,
+                                                 use_pallas=use_pallas)
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(data_ax, None, None), P(model_ax, None, None)),
+                out_specs=P(data_ax, model_ax, None, None),
+                check_vma=False)(xn, bank)
+    return sliding_distance(xn, bank, stride, metric, use_pallas=use_pallas)
+
+
 def torch_linear_init(in_features: int):
     """U(-1/sqrt(in), 1/sqrt(in)) — matches torch nn.Linear default init."""
     bound = 1.0 / math.sqrt(in_features)
@@ -120,8 +154,8 @@ class ShapeBottleneckModel(nn.Module):
         ps, ds = [], []
         for i, bank in enumerate(self.banks):
             metric = cfg.distance_func if self.variant == "sbm" else "euclidean"
-            d_full = sliding_distance(xn, bank, self.strides[i], metric,
-                                      use_pallas=cfg.use_pallas)  # (B,n,C,W)
+            d_full = _mesh_aware_distance(xn, bank, self.strides[i], metric,
+                                          cfg.use_pallas)        # (B,n,C,W)
             b = d_full.shape[0]
             if self.variant == "sbm":
                 p_full = rbf(d_full, cfg.epsilon)

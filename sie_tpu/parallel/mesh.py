@@ -30,6 +30,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sie_tpu.config import Config
 
 
+_ACTIVE_MESH: "contextvars.ContextVar[Optional[Mesh]]"
+import contextvars  # noqa: E402
+import contextlib  # noqa: E402
+
+_ACTIVE_MESH = contextvars.ContextVar("sie_tpu_active_mesh", default=None)
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The mesh the current jitted step is being traced/executed under (set by
+    the Trainer). Lets mesh-agnostic modules opt into explicit shard_map
+    regions (e.g. the Pallas shapelet op, which GSPMD cannot partition
+    automatically)."""
+    return _ACTIVE_MESH.get()
+
+
+@contextlib.contextmanager
+def mesh_context(mesh: Optional[Mesh]):
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
 def make_mesh(cfg: Config, devices: Optional[Sequence[jax.Device]] = None
               ) -> Optional[Mesh]:
     devices = list(devices if devices is not None else jax.devices())

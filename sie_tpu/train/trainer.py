@@ -30,6 +30,7 @@ from flax.core import FrozenDict
 from sie_tpu.config import Config
 from sie_tpu.models import build_model
 from sie_tpu.models.sbm import clamp_sbm_weights
+from sie_tpu.parallel.mesh import mesh_context
 
 
 def compute_beta(epoch: int, max_epoch: int, schedule: str = "cosine") -> float:
@@ -143,13 +144,16 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         batch = self._device_batch(batch)
-        return self._train_step(state, batch, jnp.asarray(beta, jnp.float32))
+        with mesh_context(self.mesh):
+            return self._train_step(state, batch,
+                                    jnp.asarray(beta, jnp.float32))
 
     def eval_step(self, state: TrainState, batch, gating_value=None):
         if gating_value not in self._eval_steps:
             self._eval_steps[gating_value] = self._build_eval_step(gating_value)
         batch = self._device_batch(batch)
-        return self._eval_steps[gating_value](state, batch)
+        with mesh_context(self.mesh):
+            return self._eval_steps[gating_value](state, batch)
 
     def _device_batch(self, batch):
         batch = tuple(jnp.asarray(b) for b in batch)
@@ -231,9 +235,10 @@ class Trainer:
                 return new_state, loss, logits
 
             self._train_step_idx = jax.jit(step, donate_argnums=(0,))
-        return self._train_step_idx(state, dev_data, jnp.asarray(idx),
-                                    jnp.asarray(w),
-                                    jnp.asarray(beta, jnp.float32))
+        with mesh_context(self.mesh):
+            return self._train_step_idx(state, dev_data, jnp.asarray(idx),
+                                        jnp.asarray(w),
+                                        jnp.asarray(beta, jnp.float32))
 
     def eval_step_indexed(self, state: TrainState, dev_data, idx,
                           gating_value=None):
@@ -248,5 +253,6 @@ class Trainer:
                 return logits, info
 
             self._eval_steps_idx[gating_value] = jax.jit(step)
-        return self._eval_steps_idx[gating_value](state, dev_data,
-                                                  jnp.asarray(idx))
+        with mesh_context(self.mesh):
+            return self._eval_steps_idx[gating_value](state, dev_data,
+                                                      jnp.asarray(idx))
