@@ -134,6 +134,11 @@ def args_to_config(args, seed: int) -> Config:
               mesh_shape=mesh_shape, use_pallas=not args.no_pallas,
               eegcnn_pooling=pooling, gradient_clip=float(args.gradient_clip),
               dropout=float(args.dropout))
+    if args.data in ("EEG", "EEG3"):
+        # label artifacts by the EEG workload, not the (UEA-only) --dataset
+        # default (the reference writes 'BasicMotions' into EEG checkpoint
+        # paths, run.py:74 + exp:140-152)
+        kw["dataset"] = args.data
     return Config(**kw)
 
 
