@@ -162,24 +162,26 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
         return batch
 
-    def _build_train_step(self):
+    def _update(self, state: TrainState, batch, beta):
+        """Shared body of the jitted train steps: loss+grad, optimizer update,
+        optional non-negativity projection."""
         cfg = self.cfg
-        loss_fn = self.loss_fn
+        rng = jax.random.fold_in(jax.random.key(cfg.seed + 17), state.step)
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (loss, (logits, _info, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, beta, True, rng)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
+            params = clamp_sbm_weights(params)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats, opt_state=opt_state)
+        return new_state, loss, logits
 
+    def _build_train_step(self):
         def step(state: TrainState, batch, beta):
-            rng = jax.random.fold_in(jax.random.key(cfg.seed + 17), state.step)
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, (logits, _info, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch, beta, True, rng)
-            updates, opt_state = state.tx.update(grads, state.opt_state,
-                                                 state.params)
-            params = optax.apply_updates(state.params, updates)
-            if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
-                params = clamp_sbm_weights(params)
-            new_state = state.replace(step=state.step + 1, params=params,
-                                      batch_stats=new_stats,
-                                      opt_state=opt_state)
-            return new_state, loss, logits
+            return self._update(state, batch, beta)
 
         return jax.jit(step, donate_argnums=(0,))
 
@@ -213,26 +215,9 @@ class Trainer:
 
     def train_step_indexed(self, state: TrainState, dev_data, idx, w, beta):
         if self._train_step_idx is None:
-            cfg = self.cfg
-            loss_fn = self.loss_fn
-
             def step(state: TrainState, data, idx, w, beta):
                 x, y, mask = (leaf[idx] for leaf in data)
-                batch = (x, y, mask, w)
-                rng = jax.random.fold_in(jax.random.key(cfg.seed + 17),
-                                         state.step)
-                grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-                (loss, (logits, _info, new_stats)), grads = grad_fn(
-                    state.params, state.batch_stats, batch, beta, True, rng)
-                updates, opt_state = state.tx.update(grads, state.opt_state,
-                                                     state.params)
-                params = optax.apply_updates(state.params, updates)
-                if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
-                    params = clamp_sbm_weights(params)
-                new_state = state.replace(step=state.step + 1, params=params,
-                                          batch_stats=new_stats,
-                                          opt_state=opt_state)
-                return new_state, loss, logits
+                return self._update(state, (x, y, mask, w), beta)
 
             self._train_step_idx = jax.jit(step, donate_argnums=(0,))
         with mesh_context(self.mesh):
