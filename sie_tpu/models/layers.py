@@ -74,12 +74,37 @@ class DataEmbedding(nn.Module):
 
 class FullAttentionLayer(nn.Module):
     """QKV projections + scaled-dot-product full attention
-    (reference SelfAttention_Family.py:48-75 + 179-213, mask_flag=False path)."""
+    (reference SelfAttention_Family.py:48-75 + 179-213, mask_flag=False path).
+
+    On TPU with the bf16 policy and no attention dropout, self-attention runs
+    through the Pallas flash-attention kernel (online softmax; never
+    materializes the (B, H, L, S) score matrix — ~730 MB/layer at CHISCO
+    shapes). Sequences are padded to a 128 multiple and the pad is isolated
+    with segment ids, preserving the reference's attend-over-everything
+    semantics for real positions.
+    """
 
     d_model: int
     n_heads: int
     attention_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+
+    def _flash(self, q, k, v, dk):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        b, l = q.shape[0], q.shape[1]
+        l_pad = -(-l // 128) * 128
+        pad = l_pad - l
+        qt, kt, vt = (jnp.transpose(z, (0, 2, 1, 3)) for z in (q, k, v))
+        if pad:
+            qt, kt, vt = (jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                          for z in (qt, kt, vt))
+        seg = jnp.zeros((b, l_pad), jnp.int32)
+        if pad:
+            seg = seg.at[:, l:].set(1)
+        out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(seg, seg),
+                              sm_scale=1.0 / math.sqrt(dk))
+        return jnp.transpose(out[:, :, :l, :], (0, 2, 1, 3))
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, train: bool = False):
@@ -89,12 +114,21 @@ class FullAttentionLayer(nn.Module):
         q = dense("query")(q_in).reshape(*q_in.shape[:2], h, dk)
         k = dense("key")(k_in).reshape(*k_in.shape[:2], h, dk)
         v = dense("value")(v_in).reshape(*v_in.shape[:2], h, dk)
-        scores = jnp.einsum("blhe,bshe->bhls", q, k,
-                            preferred_element_type=jnp.float32)
-        a = jax.nn.softmax(scores / math.sqrt(dk), axis=-1)
-        a = nn.Dropout(self.attention_dropout)(a, deterministic=not train)
-        out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+
+        use_flash = (self.dtype == jnp.bfloat16
+                     and (self.attention_dropout == 0.0 or not train)
+                     and q_in.shape[1] == k_in.shape[1]
+                     and dk in (64, 128, 256)
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            out = self._flash(q, k, v, dk)
+        else:
+            scores = jnp.einsum("blhe,bshe->bhls", q, k,
+                                preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(scores / math.sqrt(dk), axis=-1)
+            a = nn.Dropout(self.attention_dropout)(a, deterministic=not train)
+            out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(*q_in.shape[:2], h * dk).astype(self.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
 
