@@ -116,6 +116,9 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()   # () -> single device; e.g. (8,) dp / (4, 2) dp x mp
     mesh_axes: Tuple[str, ...] = ("data", "model")
     use_pallas: bool = True            # use the Pallas shapelet kernel on TPU
+    use_flash_attention: bool = False  # Pallas flash attention (opt-in: wins
+    # only for long sequences / memory-bound regimes; at CHISCO length 845 the
+    # XLA fused naive attention measured 3x faster — docs/BENCH_NOTES.md)
     checkpoint_dir: str = "./checkpoints"
     result_dir: str = "./result"
     cache_dir: str = "./cache"         # preprocessed-array cache (EEG)

@@ -76,18 +76,20 @@ class FullAttentionLayer(nn.Module):
     """QKV projections + scaled-dot-product full attention
     (reference SelfAttention_Family.py:48-75 + 179-213, mask_flag=False path).
 
-    On TPU with the bf16 policy and no attention dropout, self-attention runs
-    through the Pallas flash-attention kernel (online softmax; never
-    materializes the (B, H, L, S) score matrix — ~730 MB/layer at CHISCO
-    shapes). Sequences are padded to a 128 multiple and the pad is isolated
-    with segment ids, preserving the reference's attend-over-everything
-    semantics for real positions.
+    Optional flash-attention path (use_flash, TPU + bf16 + no attention
+    dropout): the Pallas online-softmax kernel never materializes the
+    (B, H, L, S) score matrix; sequences pad to a 128 multiple with the pad
+    isolated by segment ids, preserving the reference's attend-over-everything
+    semantics for real positions. OPT-IN because at CHISCO length (845) XLA's
+    fused naive attention measured 3x faster (15 vs 45 ms fwd+bwd, batch 64) —
+    flash wins in long-sequence / memory-bound regimes (docs/BENCH_NOTES.md).
     """
 
     d_model: int
     n_heads: int
     attention_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def _flash(self, q, k, v, dk):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -115,7 +117,8 @@ class FullAttentionLayer(nn.Module):
         k = dense("key")(k_in).reshape(*k_in.shape[:2], h, dk)
         v = dense("value")(v_in).reshape(*v_in.shape[:2], h, dk)
 
-        use_flash = (self.dtype == jnp.bfloat16
+        use_flash = (self.use_flash
+                     and self.dtype == jnp.bfloat16
                      and (self.attention_dropout == 0.0 or not train)
                      and q_in.shape[1] == k_in.shape[1]
                      and dk in (64, 128, 256)
@@ -142,13 +145,15 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.0
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         attn = FullAttentionLayer(self.d_model, self.n_heads,
                                   attention_dropout=self.dropout,
-                                  dtype=self.dtype)(x, x, x, train=train)
+                                  dtype=self.dtype,
+                                  use_flash=self.use_flash)(x, x, x, train=train)
         x = x + drop(attn)
         x = y = nn.LayerNorm(name="norm1")(x)
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
@@ -167,13 +172,14 @@ class Encoder(nn.Module):
     dropout: float = 0.0
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         for i in range(self.e_layers):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,
-                             name=f"layer_{i}")(x, train=train)
+                             self.use_flash, name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
 
 

@@ -49,6 +49,7 @@ class PatchTST(nn.Module):
 
         h = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
                     cfg.dropout, cfg.activation, dtype=dt,
+                    use_flash=cfg.use_flash_attention,
                     name="encoder")(h, train=train)
 
         h = h.reshape(b, c * patch_num * cfg.d_model)

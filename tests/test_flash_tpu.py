@@ -20,7 +20,7 @@ def test_flash_matches_naive_attention(rng):
     b, l, d, h = 4, 200, 64, 4  # l not a 128 multiple -> exercises padding
     x = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
 
-    flash_layer = FullAttentionLayer(d, h, dtype=jnp.bfloat16)
+    flash_layer = FullAttentionLayer(d, h, dtype=jnp.bfloat16, use_flash=True)
     naive_layer = FullAttentionLayer(d, h, dtype=jnp.float32)
     variables = flash_layer.init(jax.random.key(0), x, x, x)
 
