@@ -186,7 +186,7 @@ def load_eeg_dataset(cfg: Config, flag: str, three_class: bool = True,
     (in-memory + on-disk cache); the three flags share one processed tensor."""
     key = (cfg.data_root, cfg.json_path, three_class, cfg.max_files,
            tuple(cfg.subject_ids), cfg.target_channels, cfg.target_timepoints,
-           bool(synthetic))
+           cfg.task_type, bool(synthetic))
     if key not in _PROCESS_CACHE:
         _PROCESS_CACHE[key] = _load_processed(cfg, three_class, synthetic)
     x, y, subjects = _PROCESS_CACHE[key]
@@ -212,7 +212,8 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
     os.makedirs(cfg.cache_dir, exist_ok=True)
     tag = hashlib.md5(repr((cfg.data_root, cfg.subject_ids, cfg.max_files,
                             three_class, cfg.target_channels,
-                            cfg.target_timepoints)).encode()).hexdigest()[:12]
+                            cfg.target_timepoints,
+                            cfg.task_type)).encode()).hexdigest()[:12]
     cache = os.path.join(cfg.cache_dir, f"eeg_processed_{tag}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
