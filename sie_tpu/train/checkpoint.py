@@ -1,6 +1,8 @@
 """Best-model checkpointing (reference utils/tools.py:34-38 +
 run.py:580-602: best-only state_dict keyed on hyperparams, skip-train when a
-checkpoint already exists). Uses Orbax when available, with a msgpack fallback.
+checkpoint already exists). Serialized with flax msgpack — dependency-free and
+adequate for these model sizes; swap in Orbax if sharded async checkpointing
+is ever needed.
 """
 
 from __future__ import annotations
