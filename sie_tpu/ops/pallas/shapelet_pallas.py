@@ -148,6 +148,11 @@ def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
 def _l1_fwd(x, s, stride, interpret):
     if interpret is None:
         interpret = _interpret_default()
+    if stride != 1 and not interpret:
+        raise NotImplementedError(
+            "compiled Pallas path is stride-1 only (Mosaic cannot lower the "
+            "strided value slice); sie_tpu.ops.shapelet.sliding_distance "
+            "routes stride>1 to the scan implementation")
     b, c, t = x.shape
     n, _, l = s.shape
     w = (t - l) // stride + 1

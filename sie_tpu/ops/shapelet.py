@@ -169,7 +169,11 @@ def sliding_distance(
     """All-window shapelet distances. x (B,C,T), s (n,C,L) -> d (B,n,C,W) f32."""
     n, _, l = s.shape
     if metric == "euclidean":
-        if use_pallas and _pallas_available():
+        # Pallas path is stride-1 only: Mosaic cannot lower the strided value
+        # slice (stride > 1 only triggers for seq_len >= 3000, reference
+        # Shapelet.py:162; a polyphase decomposition could lift this — see
+        # NEXT_STEPS.md).
+        if stride == 1 and use_pallas and _pallas_available():
             from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
             return l1_sliding_distance(x, s, stride)
         return _l1_distance(x, s, stride)
