@@ -119,6 +119,10 @@ def get_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="./cache")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (XProf) trace of training here")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf; the "
+                        "reference's closest analog is cudnn-determinism in "
+                        "set_seed, run.py:152)")
     return p.parse_args(argv)
 
 
@@ -144,6 +148,9 @@ def args_to_config(args, seed: int) -> Config:
 
 def main(argv=None):
     args = get_args(argv)
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     seeds = list(DEFAULT_SEEDS) if args.seed == -1 else [args.seed]
     all_results = []
 
