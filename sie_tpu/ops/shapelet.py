@@ -169,13 +169,15 @@ def sliding_distance(
     """All-window shapelet distances. x (B,C,T), s (n,C,L) -> d (B,n,C,W) f32."""
     n, _, l = s.shape
     if metric == "euclidean":
-        # Pallas path is stride-1 only: Mosaic cannot lower the strided value
-        # slice (stride > 1 only triggers for seq_len >= 3000, reference
-        # Shapelet.py:162; a polyphase decomposition could lift this — see
-        # NEXT_STEPS.md).
-        if stride == 1 and use_pallas and _pallas_available():
+        if use_pallas and _pallas_available():
             from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
-            return l1_sliding_distance(x, s, stride)
+            if stride == 1:
+                return l1_sliding_distance(x, s, stride)
+            # Mosaic cannot lower strided value slices, so stride-k distance
+            # (seq_len >= 3000, reference Shapelet.py:162) decomposes into k
+            # stride-1 kernels over the polyphase components:
+            #   d_k[w] = (1/L) sum_r  L_r * d_1(x[r::k], s[:, :, r::k])[w]
+            return _l1_polyphase(x, s, stride, l1_sliding_distance)
         return _l1_distance(x, s, stride)
     if metric == "sqeuclidean":
         xs = _depthwise_corr(x, s, stride)                 # Σ x·s
@@ -203,6 +205,24 @@ def sliding_distance(
         denom = jnp.sqrt(x_cent2[:, None] * s_cent2[None, :, :, None]) + 1e-8
         return 1.0 - num / denom
     raise ValueError(f"unknown metric: {metric!r}")
+
+
+def _l1_polyphase(x: jax.Array, s: jax.Array, k: int, stride1_fn) -> jax.Array:
+    """Stride-k L1 sliding distance as a sum of k stride-1 distances over the
+    polyphase components: with l = q*k + r, the window sample x[w*k + l] is
+    x_r[w + q] for x_r = x[..., r::k] — so each phase r contributes an
+    UNNORMALIZED stride-1 distance between x_r and s_r = s[..., r::k]."""
+    _b, _c, t = x.shape
+    n, _, l = s.shape
+    w = (t - l) // k + 1
+    total = None
+    for r in range(k):
+        s_r = s[:, :, r::k]
+        l_r = s_r.shape[2]
+        x_r = x[:, :, r::k][:, :, : w + l_r - 1]
+        d_r = stride1_fn(x_r, s_r, 1) * float(l_r)
+        total = d_r if total is None else total + d_r
+    return total / l
 
 
 @functools.lru_cache(maxsize=1)
