@@ -63,7 +63,22 @@ class EEGcnn(nn.Module):
 
 
 class EEGCNNTransformer(nn.Module):
-    """Classifier head (reference model/eegcnn.py:111-247)."""
+    """Classifier head (reference model/eegcnn.py:111-247).
+
+    d_model semantics (reference :147,211-213,230-236): with encoder layers,
+    the model width is `configs.d_model` (512 on real configs) and the CNN
+    output (F2=F1*D=64) is projected up via `cnn_projection`; without encoder
+    layers the width stays at the CNN output.
+
+    padding-mask semantics (reference :257-297): the (B, T) mask is pooled
+    down to the CNN's reduced length, complements into
+    `src_key_padding_mask`, and weights the mean/sum poolings. The reference
+    pools with `avg_pool1d(kernel=5, stride=2)` annotated "rough estimate"
+    (:262) — that yields length ~T/2, mismatching the CNN's T/(P1*P2)
+    reduction, so any real mask crashes upstream. We implement the intended
+    semantics: pool by the CNN's actual reduction (P1 then P2), threshold at
+    0.5 (documented in README "Reference parity notes").
+    """
 
     config: Config
 
@@ -74,9 +89,19 @@ class EEGCNNTransformer(nn.Module):
         dt = cfg.compute_dtype
         h = EEGcnn(cfg, name="eegcnn")(jnp.transpose(x, (0, 2, 1)), train=train)
         b, t_red, f2 = h.shape
-        d_model = f2 if cfg.d_model is None else f2  # CNN width is the model dim
+
+        if padding_mask is not None:
+            m = padding_mask.astype(jnp.float32)[..., None]  # (B, T, 1)
+            m = nn.avg_pool(m, (cfg.eegcnn_pool1,), strides=(cfg.eegcnn_pool1,))
+            m = nn.avg_pool(m, (cfg.eegcnn_pool2,), strides=(cfg.eegcnn_pool2,))
+            mask = m[:, :t_red, 0] > 0.5  # (B, t_red)
+        else:
+            mask = jnp.ones((b, t_red), bool)
 
         if cfg.eegcnn_layers > 0:
+            d_model = f2 if cfg.d_model is None else cfg.d_model
+            if d_model != f2:
+                h = nn.Dense(d_model, dtype=dt, name="cnn_projection")(h)
             pe = jnp.asarray(sinusoidal_embedding(t_red, d_model), dtype=h.dtype)
             h = nn.Dropout(cfg.eegcnn_dropout2)(h + pe[None],
                                                 deterministic=not train)
@@ -84,15 +109,16 @@ class EEGCNNTransformer(nn.Module):
                 h = TorchTransformerEncoderLayer(
                     d_model, cfg.eegcnn_n_heads, cfg.eegcnn_d_ff,
                     cfg.eegcnn_dropout2, dtype=dt,
-                    name=f"encoder_{i}")(h, train=train)
+                    name=f"encoder_{i}")(h, mask, train=train)
 
         pool = cfg.eegcnn_pooling
+        mf = mask.astype(h.dtype)[..., None]  # (B, t_red, 1)
         if pool is None or pool == "none":
             h = h.reshape(b, -1)
         elif pool == "mean":
-            h = jnp.mean(h, axis=1)
+            h = jnp.sum(h * mf, axis=1) / jnp.maximum(jnp.sum(mf, axis=1), 1)
         elif pool == "sum":
-            h = jnp.sum(h, axis=1)
+            h = jnp.sum(h * mf, axis=1)
         elif pool == "top":
             h = h[:, 0, :]
         else:

@@ -205,7 +205,9 @@ class TorchTransformerEncoderLayer(nn.Module):
         scores = jnp.einsum("blhe,bshe->bhls", split(q), split(k),
                             preferred_element_type=jnp.float32) / math.sqrt(dk)
         if mask is not None:  # mask: (B, S) True=keep
-            scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+            # Finite fill (not -inf): keeps fully-masked query rows at a
+            # uniform softmax instead of NaN, so masked pooling stays clean.
+            scores = jnp.where(mask[:, None, None, :], scores, -1e30)
         a = nn.Dropout(self.dropout)(jax.nn.softmax(scores, axis=-1),
                                      deterministic=not train)
         out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), split(v),

@@ -85,6 +85,54 @@ def test_sbm_predicate_width():
     assert (p > 0).all() and (p <= 1 + 1e-6).all()
 
 
+def test_eegcnn_cnn_projection_width():
+    """With encoder layers, the model width is cfg.d_model and the CNN output
+    (F2=F1*D) is projected up (reference model/eegcnn.py:147,211-213,230-236)."""
+    cfg = tiny_cfg(model="EEGCNN", seq_len=100, d_model=16)  # F2 = 8*8 = 64
+    from sie_tpu.models.eegcnn import EEGCNNTransformer
+    model = EEGCNNTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, cfg.seq_len, cfg.enc_in))
+    variables = model.init(jax.random.key(1), x, None, train=False)
+    proj = variables["params"]["cnn_projection"]["kernel"]
+    assert proj.shape == (64, 16)
+    enc_q = variables["params"]["encoder_0"]["q"]["kernel"]
+    assert enc_q.shape == (16, 16)  # encoder runs at d_model, not CNN width
+    logits, _ = model.apply(variables, x, None, train=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_eegcnn_no_projection_when_widths_match():
+    cfg = tiny_cfg(model="EEGCNN", seq_len=100, d_model=64)  # == F2
+    from sie_tpu.models.eegcnn import EEGCNNTransformer
+    model = EEGCNNTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, cfg.seq_len, cfg.enc_in))
+    variables = model.init(jax.random.key(1), x, None, train=False)
+    assert "cnn_projection" not in variables["params"]
+
+
+def test_eegcnn_masked_pooling_ignores_padding():
+    """Content under the padding mask must not change the (masked-mean-pooled)
+    logits (reference model/eegcnn.py:257-297 intended semantics). The
+    perturbation stays well past the CNN receptive field of any kept
+    position."""
+    cfg = tiny_cfg(model="EEGCNN", seq_len=100, d_model=16,
+                   eegcnn_pooling="mean", dropout=0.0)
+    from sie_tpu.models.eegcnn import EEGCNNTransformer
+    model = EEGCNNTransformer(cfg)
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (2, 100, cfg.enc_in))
+    mask = jnp.ones((2, 100)).at[1, 50:].set(0.0)  # sample 1: tail padded
+    variables = model.init(jax.random.key(1), x, mask, train=False)
+    logits1, _ = model.apply(variables, x, mask, train=False)
+    x2 = x.at[1, 90:].add(100.0)  # deep inside the padded tail
+    logits2, _ = model.apply(variables, x2, mask, train=False)
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               rtol=1e-4, atol=1e-5)
+    # and the mask genuinely matters: full-mask output differs
+    logits3, _ = model.apply(variables, x, jnp.ones((2, 100)), train=False)
+    assert np.abs(np.asarray(logits1[1]) - np.asarray(logits3[1])).max() > 1e-4
+
+
 def test_train_mode_with_dropout_and_bn():
     logits, info = init_and_apply(tiny_cfg(model="InterpGN", dnn_type="FCN"),
                                   train=True)
@@ -105,3 +153,28 @@ def test_gradients_flow_to_shapelets():
     g0 = np.asarray(grads["shapelets_0"])
     assert np.isfinite(g0).all()
     assert np.abs(g0).max() > 0
+
+
+def test_predicate_attention_chunked_matches_dense():
+    """Query-chunked attention is exact (softmax is over keys only)."""
+    from sie_tpu.models.sbm import PredicateAttention
+    x = jax.random.normal(jax.random.key(0), (3, 300))
+    dense = PredicateAttention(300, 16, chunk_threshold=4096)
+    chunked = PredicateAttention(300, 16, chunk=64, chunk_threshold=100)
+    v = dense.init(jax.random.key(1), x)
+    np.testing.assert_allclose(np.asarray(dense.apply(v, x)),
+                               np.asarray(chunked.apply(v, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predicate_attention_scales_to_eeg_width():
+    """F>=4096 at B=8 runs without materializing (B, F, F) (VERDICT #6;
+    reference model/Shapelet.py:117-131 would need ~einsum GBs here)."""
+    from sie_tpu.models.sbm import PredicateAttention
+    f = 4500  # deliberately not a multiple of the 128-query chunk
+    x = jax.random.normal(jax.random.key(0), (8, f))
+    mod = PredicateAttention(f, 16)
+    v = mod.init(jax.random.key(1), x)
+    out = jax.jit(mod.apply)(v, x)
+    assert out.shape == (8, f)
+    assert np.isfinite(np.asarray(out)).all()
