@@ -37,6 +37,11 @@ def get_args(argv=None):
                    default=["sub-01,sub-02,sub-03"])
     p.add_argument("--task_type", type=str, default="imagine",
                    choices=["imagine", "read", "both"])
+    p.add_argument("--normalizer", type=str, default="standardization",
+                   choices=["standardization", "minmax", "per_sample_std",
+                            "per_sample_minmax"],
+                   help="UEA whole-set/per-sample normalization mode "
+                        "(reference data_factory/uea.py:85-109)")
     # ===== EEGCNN =====
     p.add_argument("--eegcnn_layers", type=int, default=2)
     p.add_argument("--eegcnn_pooling", type=str, default="mean",

@@ -35,6 +35,8 @@ class Config:
     task_type: str = "imagine"        # 'imagine' | 'read' | 'both'
     test_size: float = 0.2
     val_size: float = 0.1
+    normalizer: str = "standardization"  # reference uea.py:85-109 Normalizer
+    # modes: 'standardization' | 'minmax' | 'per_sample_std' | 'per_sample_minmax'
 
     # ===== model selection =====
     model: str = "InterpGN"           # 'SBM' | 'LTS' | 'InterpGN' | 'DNN' | 'EEGCNN'

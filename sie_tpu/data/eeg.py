@@ -66,6 +66,24 @@ def find_all_subjects(data_dir: str) -> List[str]:
                   if d.startswith("sub-") and os.path.isdir(os.path.join(data_dir, d)))
 
 
+def resolve_subjects(cfg: Config) -> List[str]:
+    """Subject resolution order (reference run.py:285-295 +
+    eeg_processor.py:1006-1027): explicit `subject_ids` list (comma-splitting
+    single-string entries) > singular `subject_id` fallback > auto-discovered
+    sub-* directories capped at `max_subjects` (reference run.py:31)."""
+    ids: List[str] = []
+    for entry in cfg.subject_ids:
+        ids.extend(s.strip() for s in str(entry).split(",") if s.strip())
+    if ids:
+        return ids
+    if cfg.subject_id:
+        return [cfg.subject_id]
+    found = find_all_subjects(cfg.data_root)
+    if cfg.max_subjects and cfg.max_subjects > 0:
+        found = found[: cfg.max_subjects]
+    return found
+
+
 def read_fif_trials(data_dir: str, subject_ids: Sequence[str],
                     max_files: int, task_type: str = "imagine"):
     """MNE-backed reading of CHISCO epochs (reference eeg_processor.py:1084-1160).
@@ -185,7 +203,8 @@ def load_eeg_dataset(cfg: Config, flag: str, three_class: bool = True,
     """Build the EEG ArrayDataset for a flag. Processing runs once per config
     (in-memory + on-disk cache); the three flags share one processed tensor."""
     key = (cfg.data_root, cfg.json_path, three_class, cfg.max_files,
-           tuple(cfg.subject_ids), cfg.target_channels, cfg.target_timepoints,
+           tuple(cfg.subject_ids), cfg.subject_id, cfg.max_subjects,
+           cfg.target_channels, cfg.target_timepoints,
            cfg.task_type, bool(synthetic))
     if key not in _PROCESS_CACHE:
         _PROCESS_CACHE[key] = _load_processed(cfg, three_class, synthetic)
@@ -210,7 +229,8 @@ def load_eeg_dataset(cfg: Config, flag: str, three_class: bool = True,
 
 def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
     os.makedirs(cfg.cache_dir, exist_ok=True)
-    tag = hashlib.md5(repr((cfg.data_root, cfg.subject_ids, cfg.max_files,
+    tag = hashlib.md5(repr((cfg.data_root, cfg.subject_ids, cfg.subject_id,
+                            cfg.max_subjects, cfg.max_files,
                             three_class, cfg.target_channels,
                             cfg.target_timepoints,
                             cfg.task_type)).encode()).hexdigest()[:12]
@@ -229,7 +249,7 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
             n_channels=cfg.target_channels, n_times=cfg.target_timepoints)
         text_maps = synthetic_textmaps()
     else:
-        subject_ids = list(cfg.subject_ids) or find_all_subjects(cfg.data_root)
+        subject_ids = resolve_subjects(cfg)
         raws, labels, subjects = read_fif_trials(
             cfg.data_root, subject_ids, cfg.max_files, cfg.task_type)
         t_max = max(r.shape[1] for r in raws)

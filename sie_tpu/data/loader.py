@@ -123,6 +123,40 @@ class Batcher:
         return self.epoch()
 
 
+class IndexedBatcher:
+    """Fixed-shape batch iterator over any indexable dataset whose __getitem__
+    returns a tuple of arrays (forecast windows, anomaly segments, M4 series).
+    The final partial batch is dropped (these branches mirror the reference's
+    forecast DataLoader drop_last behavior; no weighting needed)."""
+
+    def __init__(self, ds, batch_size: int, shuffle: bool, seed: int = 0):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.ds) // self.batch_size
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Tuple[np.ndarray, ...]]:
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        n = len(self.ds)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        b = self.batch_size
+        for i in range(len(self)):
+            items = [self.ds[int(j)] for j in order[i * b:(i + 1) * b]]
+            yield tuple(np.stack(parts) for parts in zip(*items))
+
+    def __iter__(self):
+        return self.epoch()
+
+
 def standardize(x: np.ndarray, lengths: Optional[np.ndarray] = None,
                 mean: Optional[np.ndarray] = None,
                 std: Optional[np.ndarray] = None):
@@ -141,6 +175,40 @@ def standardize(x: np.ndarray, lengths: Optional[np.ndarray] = None,
     out = (x - mean.astype(np.float32)) / (std + eps).astype(np.float32)
     out = out * mask[..., None]  # keep padding at exactly 0
     return out.astype(np.float32), mean, std
+
+
+def normalize_array(x: np.ndarray, lengths: Optional[np.ndarray] = None,
+                    norm_type: str = "standardization") -> np.ndarray:
+    """All four reference Normalizer modes (data_factory/uea.py:85-109) on
+    dense (N, T, C) arrays. 'standardization'/'minmax' pool stats over every
+    real timestep of the whole set; 'per_sample_*' normalize each sample over
+    its own timesteps (pandas groupby-transform semantics: ddof-1 std with NO
+    eps for per_sample_std, +float64 eps for the minmax modes)."""
+    n, t, c = x.shape
+    if lengths is None:
+        lengths = np.full((n,), t, np.int32)
+    mask = (np.arange(t)[None, :] < lengths[:, None])
+    eps = np.finfo(float).eps
+    if norm_type == "standardization":
+        out, _, _ = standardize(x, lengths)
+        return out
+    if norm_type == "minmax":
+        flat = x.reshape(-1, c)[mask.reshape(-1)]
+        mn, mx = flat.min(axis=0), flat.max(axis=0)
+        out = (x - mn) / (mx - mn + eps)
+    elif norm_type == "per_sample_std":
+        big = np.where(mask[..., None], x.astype(np.float64), np.nan)
+        mean = np.nanmean(big, axis=1, keepdims=True)
+        std = np.nanstd(big, axis=1, keepdims=True, ddof=1)
+        out = (x - mean) / std  # reference adds no eps here (uea.py:99)
+    elif norm_type == "per_sample_minmax":
+        big = np.where(mask[..., None], x.astype(np.float64), np.nan)
+        mn = np.nanmin(big, axis=1, keepdims=True)
+        mx = np.nanmax(big, axis=1, keepdims=True)
+        out = (x - mn) / (mx - mn + eps)
+    else:
+        raise NameError(f'Normalize method "{norm_type}" not implemented')
+    return (out * mask[..., None]).astype(np.float32)
 
 
 def lengths_to_mask(lengths: np.ndarray, t: int) -> np.ndarray:

@@ -1,41 +1,111 @@
 """Dataset provider — registry + factory (reference
 `data_factory/data_factory.py:10-160`).
 
-Maps the data flag to a loaded ArrayDataset + fixed-shape Batcher. Shuffle is
-train-only; classification keeps all samples (drop_last=False semantics via
-weighted final-batch padding).
+The registry carries the reference's full 15-entry `data_dict` surface
+(data_factory.py:10-26): classification (EEG/EEG3/UEA), regression (Monash),
+forecasting (ETTh1/ETTh2/ETTm1/ETTm2/custom/m4) and anomaly segments
+(PSM/MSL/SMAP/SMD/SWAT). Like the reference — whose CLI restricts task_name
+to classification/regression — only the first two families are reachable from
+run.py; the rest are exposed for library use and return window/segment
+batchers.
+
+Classification/regression datasets map to fixed-shape `Batcher`s (shuffle
+train-only, drop_last=False semantics via weighted final-batch padding);
+forecast/anomaly datasets map to `IndexedBatcher`s over their window tuples.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import os
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 from sie_tpu.config import Config
-from sie_tpu.data.loader import ArrayDataset, Batcher
+from sie_tpu.data.loader import ArrayDataset, Batcher, IndexedBatcher
+
+
+def _eeg(three_class: bool):
+    def load(cfg: Config, flag: str, *, loso_test_subject=None, **_):
+        from sie_tpu.data.eeg import load_eeg_dataset
+        return load_eeg_dataset(cfg, flag, three_class=three_class,
+                                loso_test_subject=loso_test_subject)
+    return load
+
+
+def _uea(cfg: Config, flag: str, **_):
+    from sie_tpu.data.uea import load_uea_dataset
+    return load_uea_dataset(cfg.data_root, cfg.dataset, flag,
+                            norm_type=cfg.normalizer)
+
+
+def _monash(cfg: Config, flag: str, *, bin_edges=None, **_):
+    from sie_tpu.data.monash import load_monash_dataset
+    return load_monash_dataset(cfg.data_root, cfg.dataset, flag,
+                               bin_edges=bin_edges)
+
+
+def _forecast(kind: str):
+    def load(cfg: Config, flag: str, **_):
+        from sie_tpu.data.forecast import load_forecast_csv
+        path = os.path.join(cfg.data_root, f"{cfg.dataset}.csv")
+        return load_forecast_csv(
+            path, flag, size=(cfg.seq_len, cfg.label_len, cfg.pred_len),
+            freq=cfg.freq, dataset_kind=kind)
+    return load
+
+
+def _m4(cfg: Config, flag: str, **_):
+    from sie_tpu.data.forecast import load_m4_csv
+    path = os.path.join(cfg.data_root, f"{cfg.dataset}.csv")
+    return load_m4_csv(path, cfg.seq_len, cfg.pred_len)
+
+
+def _anomaly(name: str):
+    def load(cfg: Config, flag: str, **_):
+        from sie_tpu.data.anomaly import load_segments
+        return load_segments(cfg.data_root, name, flag, win_size=cfg.seq_len)
+    return load
+
+
+# reference data_factory/data_factory.py:10-26
+DATA_REGISTRY: Dict[str, Callable] = {
+    "ETTh1": _forecast("ETTh"),
+    "ETTh2": _forecast("ETTh"),
+    "ETTm1": _forecast("ETTm"),
+    "ETTm2": _forecast("ETTm"),
+    "custom": _forecast("custom"),
+    "m4": _m4,
+    "PSM": _anomaly("PSM"),
+    "MSL": _anomaly("MSL"),
+    "SMAP": _anomaly("SMAP"),
+    "SMD": _anomaly("SMD"),
+    "SWAT": _anomaly("SWAT"),
+    "UEA": _uea,
+    "Monash": _monash,
+    "EEG": _eeg(three_class=False),
+    "EEG3": _eeg(three_class=True),
+}
 
 
 def data_provider(cfg: Config, flag: str,
                   bin_edges: Optional[np.ndarray] = None,
-                  loso_test_subject: Optional[int] = None,
-                  ) -> Tuple[ArrayDataset, Batcher]:
+                  loso_test_subject: Optional[int] = None):
+    """Returns (dataset, batcher). Classification/regression entries yield
+    (ArrayDataset, Batcher); forecast/anomaly entries yield their
+    window/segment dataset with an IndexedBatcher."""
     flag = flag.lower()
-    if cfg.data in ("EEG", "EEG3"):
-        from sie_tpu.data.eeg import load_eeg_dataset
-        ds = load_eeg_dataset(cfg, flag, three_class=(cfg.data == "EEG3"),
-                              loso_test_subject=loso_test_subject)
-    elif cfg.data == "UEA":
-        from sie_tpu.data.uea import load_uea_dataset
-        ds = load_uea_dataset(cfg.data_root, cfg.dataset, flag)
-    elif cfg.data == "Monash":
-        from sie_tpu.data.monash import load_monash_dataset
-        ds = load_monash_dataset(cfg.data_root, cfg.dataset, flag,
-                                 bin_edges=bin_edges)
-    else:
-        raise ValueError(f"unknown data {cfg.data!r}")
+    if cfg.data not in DATA_REGISTRY:
+        raise ValueError(f"unknown data {cfg.data!r} "
+                         f"(known: {sorted(DATA_REGISTRY)})")
+    ds = DATA_REGISTRY[cfg.data](cfg, flag, bin_edges=bin_edges,
+                                 loso_test_subject=loso_test_subject)
 
     shuffle = flag == "train"
-    batcher = Batcher(ds, cfg.batch_size, shuffle=shuffle,
-                      seed=max(cfg.seed, 0), drop_last=False)
+    if isinstance(ds, ArrayDataset):
+        batcher = Batcher(ds, cfg.batch_size, shuffle=shuffle,
+                          seed=max(cfg.seed, 0), drop_last=False)
+    else:
+        batcher = IndexedBatcher(ds, cfg.batch_size, shuffle=shuffle,
+                                 seed=max(cfg.seed, 0))
     return ds, batcher

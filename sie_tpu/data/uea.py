@@ -23,7 +23,7 @@ from typing import Tuple
 
 import numpy as np
 
-from sie_tpu.data.loader import ArrayDataset, lengths_to_mask, standardize
+from sie_tpu.data.loader import ArrayDataset, lengths_to_mask, normalize_array
 from sie_tpu.data.ts_parser import parse_ts_file, to_dense
 
 
@@ -53,7 +53,8 @@ def ethanol_instance_norm(x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_uea_dataset(root_path: str, dataset: str, flag: str) -> ArrayDataset:
+def load_uea_dataset(root_path: str, dataset: str, flag: str,
+                     norm_type: str = "standardization") -> ArrayDataset:
     split = "TRAIN" if flag.lower() == "train" else "TEST"
     ts = parse_ts_file(_find_ts(root_path, dataset, split))
     x, lengths, max_len = to_dense(ts)
@@ -62,7 +63,7 @@ def load_uea_dataset(root_path: str, dataset: str, flag: str) -> ArrayDataset:
     cls_index = {c: i for i, c in enumerate(classes)}
     y = np.array([cls_index[l] for l in ts.labels], np.int32)
 
-    x, _, _ = standardize(x, lengths)
+    x = normalize_array(x, lengths, norm_type)
     if "EthanolConcentration" in dataset:
         x = ethanol_instance_norm(x, lengths)
 

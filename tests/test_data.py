@@ -151,3 +151,84 @@ def test_preprocess_trials_crop_and_scale():
                                        target_timepoints=150, normalize=False))
     assert out.shape == (4, 16, 150)
     np.testing.assert_allclose(out, raw[:, :16, :150] * 1e6, rtol=1e-4)
+
+
+def test_normalizer_modes_match_pandas():
+    """All four Normalizer modes vs a pandas transcription of
+    data_factory/uea.py:85-109."""
+    import pandas as pd
+    from sie_tpu.data.loader import normalize_array
+    rng = np.random.default_rng(7)
+    n, t, c = 4, 12, 3
+    lengths = np.array([12, 9, 12, 6], np.int32)
+    x = rng.normal(2.0, 3.0, (n, t, c)).astype(np.float32)
+    for i in range(n):
+        x[i, lengths[i]:] = 0.0
+
+    # pandas long-format frame indexed by sample id (reference layout)
+    frames = [pd.DataFrame(x[i, : lengths[i]], index=[i] * lengths[i])
+              for i in range(n)]
+    df = pd.concat(frames)
+    eps = np.finfo(float).eps
+
+    def ref(norm_type):
+        if norm_type == "standardization":
+            return (df - df.mean()) / (df.std() + eps)
+        if norm_type == "minmax":
+            return (df - df.min()) / (df.max() - df.min() + eps)
+        g = df.groupby(by=df.index)
+        if norm_type == "per_sample_std":
+            return (df - g.transform("mean")) / g.transform("std")
+        mn = g.transform("min")
+        return (df - mn) / (g.transform("max") - mn + eps)
+
+    for mode in ["standardization", "minmax", "per_sample_std",
+                 "per_sample_minmax"]:
+        out = normalize_array(x, lengths, mode)
+        want = ref(mode).to_numpy(dtype=np.float32)
+        got = np.concatenate([out[i, : lengths[i]] for i in range(n)])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=mode)
+        # padding stays exactly 0
+        for i in range(n):
+            assert (out[i, lengths[i]:] == 0).all(), mode
+
+
+def test_normalizer_unknown_mode_raises():
+    from sie_tpu.data.loader import normalize_array
+    with pytest.raises(NameError):
+        normalize_array(np.zeros((1, 4, 2), np.float32), None, "nope")
+
+
+def test_uea_normalizer_flag_changes_data(tmp_path):
+    write_synthetic_uea(str(tmp_path), "Toy2", n_train=8, n_test=4, n_dims=2,
+                        length=16, n_classes=2)
+    a = load_uea_dataset(str(tmp_path), "Toy2", "train")
+    b = load_uea_dataset(str(tmp_path), "Toy2", "train",
+                         norm_type="per_sample_minmax")
+    assert np.abs(a.x - b.x).max() > 0.1
+    assert b.x.min() >= -1e-6 and b.x.max() <= 1.0 + 1e-6
+
+
+def test_resolve_subjects(tmp_path):
+    """--subject_ids > --subject_id fallback > auto-discovery capped at
+    --max_subjects (reference run.py:31,285-295)."""
+    from sie_tpu.config import Config
+    from sie_tpu.data.eeg import resolve_subjects
+    for i in range(9):
+        (tmp_path / f"sub-{i + 1:02d}").mkdir()
+    (tmp_path / "not-a-subject").mkdir()
+
+    cfg = Config(data_root=str(tmp_path), subject_ids=("sub-04,sub-05", "sub-06"))
+    assert resolve_subjects(cfg) == ["sub-04", "sub-05", "sub-06"]
+
+    cfg = Config(data_root=str(tmp_path), subject_ids=(), subject_id="sub-02")
+    assert resolve_subjects(cfg) == ["sub-02"]
+
+    cfg = Config(data_root=str(tmp_path), subject_ids=(), subject_id="",
+                 max_subjects=3)
+    assert resolve_subjects(cfg) == ["sub-01", "sub-02", "sub-03"]
+
+    cfg = Config(data_root=str(tmp_path), subject_ids=(), subject_id="",
+                 max_subjects=0)  # 0 = no cap
+    assert len(resolve_subjects(cfg)) == 9

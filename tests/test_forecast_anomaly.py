@@ -63,6 +63,57 @@ def test_m4_dataset(tmp_path):
     assert ins.shape == (30,) and outs.shape == (6,)
 
 
+def test_provider_registry_full_surface():
+    """The registry carries the reference's full data_dict
+    (data_factory/data_factory.py:10-26): 15 names."""
+    from sie_tpu.data.provider import DATA_REGISTRY
+    assert set(DATA_REGISTRY) == {
+        "ETTh1", "ETTh2", "ETTm1", "ETTm2", "custom", "m4",
+        "PSM", "MSL", "SMAP", "SMD", "SWAT", "UEA", "Monash", "EEG", "EEG3"}
+
+
+def test_provider_routes_forecast(tmp_path):
+    from sie_tpu.config import Config
+    from sie_tpu.data.provider import data_provider
+    _write_csv(tmp_path / "myseries.csv", n=400)
+    cfg = Config(data="custom", data_root=str(tmp_path), dataset="myseries",
+                 seq_len=48, label_len=24, pred_len=24, batch_size=4, seed=0)
+    ds, batcher = data_provider(cfg, "train")
+    x, y, xm, ym = next(iter(batcher))
+    assert x.shape == (4, 48, 3) and y.shape == (4, 48, 3)
+    assert len(batcher) == len(ds) // 4
+
+
+def test_provider_routes_anomaly(tmp_path):
+    from sie_tpu.config import Config
+    from sie_tpu.data.provider import data_provider
+    rng = np.random.default_rng(3)
+    np.save(tmp_path / "PSM_train.npy", rng.normal(size=(500, 8)))
+    np.save(tmp_path / "PSM_test.npy", rng.normal(size=(300, 8)))
+    np.save(tmp_path / "PSM_test_label.npy",
+            rng.integers(0, 2, 300).astype(np.float32))
+    cfg = Config(data="PSM", data_root=str(tmp_path), seq_len=100,
+                 batch_size=2, seed=0)
+    ds, batcher = data_provider(cfg, "test")
+    w, lab = next(iter(batcher))
+    assert w.shape == (2, 100, 8) and lab.shape == (2, 100)
+
+
+def test_provider_routes_m4(tmp_path):
+    from sie_tpu.config import Config
+    from sie_tpu.data.provider import data_provider
+    rng = np.random.default_rng(4)
+    rows = {"V1": [f"S{i}" for i in range(6)]}
+    for j in range(60):
+        rows[f"c{j}"] = rng.normal(size=6)
+    pd.DataFrame(rows).to_csv(tmp_path / "Monthly.csv", index=False)
+    cfg = Config(data="m4", data_root=str(tmp_path), dataset="Monthly",
+                 seq_len=30, pred_len=6, batch_size=3, seed=0)
+    ds, batcher = data_provider(cfg, "train")
+    ins, outs = next(iter(batcher))
+    assert ins.shape == (3, 30) and outs.shape == (3, 6)
+
+
 def test_anomaly_segments(tmp_path):
     rng = np.random.default_rng(2)
     np.save(tmp_path / "SMD_train.npy", rng.normal(size=(500, 8)))
