@@ -28,11 +28,16 @@ for DATASET in "${DATASETS[@]}"; do
     PEMS-SF|DuckDuckGeese|MotorImagery|EigenWorms)
       echo ">>> $DATASET is memory-heavy; consider --batch_size 8" ;;
   esac
+  # --no-amp: the reference sweep passes --amp which, through its inverted
+  # store_false flag (run.py:100), ran the UEA suite in fp32 — keep the same
+  # numerics for accuracy comparison (append --amp after the data root to
+  # choose bf16 instead).
   python run.py \
     --data UEA --data_root "$DATA_ROOT" --dataset "$DATASET" \
     --model InterpGN --dnn_type FCN \
     --num_shapelet $NUM_SHAPELET --lambda_div $LAMBDA_DIV \
     --lambda_reg $LAMBDA_REG --epsilon $EPS --gating_value $GATING_VALUE \
     --train_epochs 500 --batch_size 32 --lr 5e-3 --patience 50 \
+    --no-amp \
     "$@"
 done

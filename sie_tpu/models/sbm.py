@@ -88,24 +88,51 @@ def bank_lengths(cfg: Config) -> Tuple[int, ...]:
 class PredicateAttention(nn.Module):
     """Scalar self-attention over the predicate vector (reference SelfAttention,
     Shapelet.py:117-131): Q/K are 1->dim_attn projections + positional embedding,
-    V is the raw predicate scalar."""
+    V is the raw predicate scalar.
+
+    The reference materializes the full (B, F, F) score matrix — at the EEG
+    predicate width (F=7320, B=64) that is ~13.7 GB f32, beyond a v5e's HBM.
+    Above `chunk_threshold` features we scan over query chunks instead: peak
+    score memory drops to B*chunk*F (~240 MB at EEG scale) with identical
+    math (softmax is over keys only, so chunking queries is exact)."""
 
     dim_feature: int
     dim_attn: int = 16
     dtype: jnp.dtype = jnp.float32
+    chunk: int = 128
+    chunk_threshold: int = 2048
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # x: (B, F)
+        b, f = x.shape
         xe = x[..., None].astype(self.dtype)                      # (B, F, 1)
         pos = self.param("pos_embed", nn.initializers.normal(1.0),
                          (self.dim_feature, self.dim_attn))
         q = nn.Dense(self.dim_attn, dtype=self.dtype, name="q_proj")(xe) + pos
         k = nn.Dense(self.dim_attn, dtype=self.dtype, name="k_proj")(xe) + pos
-        scores = jnp.einsum("bfa,bga->bfg", q, k,
-                            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(scores / math.sqrt(self.dim_attn), axis=-1)
-        out = jnp.einsum("bfg,bg->bf", attn.astype(self.dtype), x.astype(self.dtype))
-        return out
+        xv = x.astype(self.dtype)
+        scale = 1.0 / math.sqrt(self.dim_attn)
+
+        if f <= self.chunk_threshold:
+            scores = jnp.einsum("bfa,bga->bfg", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(scores * scale, axis=-1)
+            return jnp.einsum("bfg,bg->bf", attn.astype(self.dtype), xv)
+
+        blk = self.chunk
+        f_pad = -(-f // blk) * blk
+        qp = jnp.pad(q, ((0, 0), (0, f_pad - f), (0, 0)))
+        qc = jnp.transpose(qp.reshape(b, f_pad // blk, blk, self.dim_attn),
+                           (1, 0, 2, 3))                          # (nc,B,blk,A)
+
+        def body(_, qi):
+            s = jnp.einsum("bfa,bga->bfg", qi, k,
+                           preferred_element_type=jnp.float32) * scale
+            a = jax.nn.softmax(s, axis=-1)  # keys are all real; no mask needed
+            return None, jnp.einsum("bfg,bg->bf", a.astype(self.dtype), xv)
+
+        _, outs = jax.lax.scan(body, None, qc)                    # (nc, B, blk)
+        return jnp.transpose(outs, (1, 0, 2)).reshape(b, f_pad)[:, :f]
 
 
 class ShapeBottleneckModel(nn.Module):

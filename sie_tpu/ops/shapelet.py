@@ -225,8 +225,18 @@ def _l1_polyphase(x: jax.Array, s: jax.Array, k: int, stride1_fn) -> jax.Array:
     return total / l
 
 
-@functools.lru_cache(maxsize=1)
 def _pallas_available() -> bool:
+    """The compiled kernel needs a TPU; SIE_TPU_PALLAS_INTERPRET=1 also routes
+    use_pallas=True through the kernel in Pallas interpret mode on any backend
+    (used by the multichip dryrun to certify the shard_map+kernel path)."""
+    import os
+    if os.environ.get("SIE_TPU_PALLAS_INTERPRET") == "1":
+        return True
+    return _on_tpu()
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

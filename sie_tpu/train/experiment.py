@@ -174,8 +174,14 @@ class Experiment:
         num_class = self.cfg.num_class
         dev = None
         if self.device_resident:
-            tag = "val" if loader is self.val_loader else "test"
-            dev = self.trainer.device_data(tag, loader.ds)
+            # explicit identity -> cache-tag map; an unknown loader falls back
+            # to host feeding instead of silently aliasing another split's
+            # device cache
+            tags = {id(self.train_loader): "train", id(self.val_loader): "val",
+                    id(self.test_loader): "test"}
+            tag = tags.get(id(loader))
+            if tag is not None:
+                dev = self.trainer.device_data(tag, loader.ds)
         for bi, batch_idx in enumerate(loader.epoch_indices(0)):
             idx, w = batch_idx
             x = loader.ds.x[idx]
