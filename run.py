@@ -170,7 +170,22 @@ def main(argv=None):
 
         if args.loso and args.data in ("EEG", "EEG3"):
             from sie_tpu.parallel.loso import run_loso
-            fold_results = run_loso(cfg, mesh=mesh)
+            from sie_tpu.parallel.multihost import (host_fold_slice,
+                                                    init_distributed)
+            fold_slice = slice(None)
+            if init_distributed():
+                import jax
+                # per-host fold parallelism over DCN: disjoint contiguous
+                # fold ranges, no cross-host gradient traffic
+                from sie_tpu.data.eeg import load_eeg_dataset
+                probe = load_eeg_dataset(cfg, "train",
+                                         three_class=(cfg.data == "EEG3"))
+                n_subj = (int(probe.subject_ids.max()) + 1
+                          if probe.subject_ids is not None else 1)
+                fold_slice = host_fold_slice(n_subj)
+                print(f"[multihost] process {jax.process_index()}/"
+                      f"{jax.process_count()} takes folds {fold_slice}")
+            fold_results = run_loso(cfg, mesh=mesh, fold_slice=fold_slice)
             accs = [r["accuracy"] for r in fold_results]
             import numpy as np
             print(f"LOSO ({len(accs)} folds): accuracy "

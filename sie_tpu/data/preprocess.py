@@ -75,7 +75,10 @@ def preprocess_trials_host(raw, target_channels: int = 122,
     the processed float32 output is ~4x smaller and is uploaded once by the
     device-resident training pipeline). One fused XLA:CPU program still
     replaces the reference's N_trials x 5 numpy/pandas passes."""
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: in a multi-process (jax.distributed) run the
+    # global list starts with process 0's device, which other processes
+    # cannot fetch from.
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         raw32 = jnp.asarray(np.asarray(raw, dtype=np.float32))
         return preprocess_trials(raw32, target_channels, target_timepoints,

@@ -46,31 +46,43 @@ def _window_tile(n: int, c: int, w: int) -> int:
     return -(-wt // 8) * 8  # round up to sublane multiple
 
 
-_L_CHUNK = 8  # l-loop unroll: one dynamic load per chunk, static sub-slices
+_L_CHUNK = 8  # l-loop unroll: one aligned load per k, static sub-slices
 
 
-def _fwd_kernel(x_ref, s_ref, out_ref, acc_ref, *, stride: int):
+def _fill_shifted(x_ref, x8_ref, start, t8):
+    """x8[k] = x[start + k : start + k + t8] for k in 0..7 — ONE unaligned
+    read per k, done once per program. Every subsequent window read hits x8 at
+    a sublane-ALIGNED offset; the per-k unaligned sublane loads in the inner
+    loop measured ~24% of forward kernel time (BENCH_NOTES r2)."""
+    for k in range(_L_CHUNK):
+        x8_ref[k] = x_ref[0, pl.ds(start + k, t8), :]
+
+
+def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, acc_ref, *, stride: int):
     # x_ref: (1, T_pad, C); s_ref: (n, L, C); out_ref: (1, n, WT, C)
+    # x8_ref: VMEM scratch (8, T8, C) of sublane-shifted x copies
     # acc_ref: VMEM scratch (n, WT, C) — accumulating into a scratch ref with
     # per-chunk register partials measured ~25% faster than carrying the big
     # accumulator through fori_loop (the carry spills/reloads every iteration).
     n, l, c = s_ref.shape
     wt = out_ref.shape[2]
-    span = (wt - 1) * stride + 1
     w0 = pl.program_id(1) * wt
     ck = _L_CHUNK
+    t8 = x8_ref.shape[1]
+    _fill_shifted(x_ref, x8_ref, w0 * stride, t8)
     acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    span = (wt - 1) * stride + 1
 
     def chunk_body(ci, _):
         base = ci * ck
-        # one dynamic-offset load per chunk; the k-offsets below are static
-        buf = x_ref[0, pl.ds(w0 * stride + base, span + ck - 1), :]
         sch = s_ref[:, pl.ds(base, ck), :]                # (n, ck, C)
         part = jnp.zeros((n, wt, c), jnp.float32)
         for k in range(ck):
-            xs = buf[k: k + span]
+            # x[(w0+w)*stride + base + k] — aligned in x8[k] (base = 8*ci)
+            xs = x8_ref[k, pl.ds(base, span), :]
             if stride > 1:
-                xs = xs[::stride, :]                      # (WT, C)
+                xs = xs[::stride, :]
             part = part + jnp.abs(xs[None, :, :] - sch[:, k: k + 1, :])
         acc_ref[:] += part
         return 0
@@ -79,8 +91,9 @@ def _fwd_kernel(x_ref, s_ref, out_ref, acc_ref, *, stride: int):
         jax.lax.fori_loop(0, l // ck, chunk_body, 0)
     # static tail (L % chunk iterations)
     tail = jnp.zeros((n, wt, c), jnp.float32)
-    for li in range(l - l % ck, l):
-        xs = x_ref[0, pl.ds(w0 * stride + li, span), :]
+    base0 = l - l % ck
+    for li in range(base0, l):
+        xs = x8_ref[li - base0, pl.ds(base0, span), :]
         if stride > 1:
             xs = xs[::stride, :]
         tail = tail + jnp.abs(xs[None, :, :] - s_ref[:, li: li + 1, :])
@@ -89,15 +102,23 @@ def _fwd_kernel(x_ref, s_ref, out_ref, acc_ref, *, stride: int):
     out_ref[0] = acc_ref[:] * (1.0 / l)
 
 
-def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, *, stride: int, w_total: int):
+def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
+                stride: int, w_total: int):
     # x_ref: (1, T_pad, C); s_ref: (n, L, C); g_ref: (1, n, WT, C)
     # out_ref: (n, L, C) — shared accumulator across the whole grid
+    # x8_ref: VMEM scratch (8, T8, C) of stride-shifted x copies so every
+    # per-window read of (L, C) is sublane-aligned (see _fill_shifted).
     n, l, c = s_ref.shape
     wt = g_ref.shape[2]
     b = pl.program_id(0)
     j = pl.program_id(1)
     w0 = j * wt
     s = s_ref[:]
+    t8 = x8_ref.shape[1]
+    # x8[k] starts at x[(w0 + k)*stride]: window w0+wbase+k reads
+    # x8[k, wbase*stride : +l] with wbase*stride a multiple of 8 for stride 1.
+    for k in range(_L_CHUNK):
+        x8_ref[k] = x_ref[0, pl.ds((w0 + k) * stride, t8), :]
 
     @pl.when((b == 0) & (j == 0))
     def _():
@@ -108,11 +129,10 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, *, stride: int, w_total: int):
 
     def chunk_body(ci, _):
         wbase = ci * ck
-        buf = x_ref[0, pl.ds((w0 + wbase) * stride, l + (ck - 1) * stride), :]
         gch = g_ref[0, :, pl.ds(wbase, ck), :]            # (n, ck, C)
         part = jnp.zeros((n, l, c), jnp.float32)
         for k in range(ck):
-            xs = buf[k * stride: k * stride + l]          # (L, C), static slice
+            xs = x8_ref[k, pl.ds(wbase * stride, l), :]   # aligned (stride 1)
             gw = gch[:, k: k + 1, :]
             gw = jnp.where(w0 + wbase + k < w_total, gw, 0.0)
             # d|s-x|/ds * g == select(s > x, g, -g); exact ties contribute g
@@ -139,9 +159,9 @@ def l1_sliding_distance(x: jax.Array, s: jax.Array, stride: int = 1,
 
 def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
     """(B, C, T) -> channels-last (B, T_pad, C) with enough tail padding that
-    every window read of the padded tail tile stays in bounds."""
+    every shifted-copy fill of the padded tail tile stays in bounds."""
     xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
-    pad = wt * stride + l
+    pad = wt * stride + l + 3 * _L_CHUNK
     return jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
 
 
@@ -173,7 +193,11 @@ def _l1_fwd(x, s, stride, interpret):
         ],
         out_specs=pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, wt, c), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((_L_CHUNK, l + (wt - 1) * stride + 1 + _L_CHUNK, c),
+                       jnp.float32),
+            pltpu.VMEM((n, wt, c), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=3 * b * n * c * w * l,
             bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),
@@ -216,6 +240,10 @@ def _l1_bwd_rule(stride, interpret, res, g):
         ],
         out_specs=pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_L_CHUNK, (wt - _L_CHUNK) * stride + l + _L_CHUNK, c),
+                       jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * w * l,
             bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),

@@ -39,6 +39,7 @@ def test_mesh_flag_parsing():
     assert cfg.mesh_shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_synthetic_uea(tmp_path):
     from sie_tpu.data.synthetic import write_synthetic_uea
     write_synthetic_uea(str(tmp_path), "Toy", n_train=24, n_test=12, n_dims=2,

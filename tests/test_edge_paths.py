@@ -42,6 +42,7 @@ def test_sbm_long_sequence_strided():
     assert np.isfinite(np.asarray(g["shapelets_0"])).all()
 
 
+@pytest.mark.slow
 def test_cli_regression_end_to_end(tmp_path):
     import run as run_cli
     from sie_tpu.data.synthetic import write_synthetic_monash

@@ -22,6 +22,7 @@ def eeg_cfg(tmp_path, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_eegcnn_experiment(tmp_path):
     exp = Experiment(eeg_cfg(tmp_path), verbose=False)
     assert exp.cfg.num_class == 3
@@ -32,6 +33,7 @@ def test_eegcnn_experiment(tmp_path):
     assert metrics["random_baseline"] == pytest.approx(100.0 / 3)
 
 
+@pytest.mark.slow
 def test_interpgn_eeg_experiment_amp(tmp_path):
     """InterpGN on EEG3 with the bf16 compute policy (reference autocast)."""
     cfg = eeg_cfg(tmp_path, model="InterpGN", dnn_type="FCN",

@@ -11,6 +11,7 @@ from sie_tpu.models import build_model
 
 def tiny_cfg(**kw):
     base = dict(seq_len=32, enc_in=3, num_class=4, num_shapelet=2,
+                shapelet_lengths=(0.1, 0.3),
                 d_model=16, d_ff=32, n_heads=2, e_layers=1, top_k=2,
                 num_kernels=2, dropout=0.1, amp=False, use_pallas=False,
                 eegcnn_kernel1=9, eegcnn_kernel2=5, eegcnn_layers=1,

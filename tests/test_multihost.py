@@ -1,0 +1,83 @@
+"""Multi-host LOSO: fold-slicing unit tests + a real 2-process
+jax.distributed CPU run (marked slow)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sie_tpu.parallel.multihost import host_fold_slice, init_distributed
+
+
+@pytest.mark.parametrize("n_folds,hosts", [(5, 2), (8, 4), (3, 4), (7, 3),
+                                           (1, 1), (6, 6)])
+def test_host_fold_slices_partition(n_folds, hosts):
+    """Slices over all hosts are disjoint, contiguous, and exhaustive."""
+    seen = []
+    for pi in range(hosts):
+        sl = host_fold_slice(n_folds, pi, hosts)
+        seen.extend(range(n_folds)[sl])
+    assert seen == list(range(n_folds))
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    monkeypatch.delenv("SIE_TPU_COORDINATOR", raising=False)
+    assert init_distributed() is False
+    assert init_distributed(num_processes=1) is False
+
+
+_WORKER = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from sie_tpu.config import Config
+from sie_tpu.parallel.multihost import init_distributed, run_loso_multihost
+
+assert init_distributed() is True
+cfg = Config(data="EEG3", data_root="/nonexistent-synth",
+             cache_dir={cache!r}, model="SBM", num_shapelet=2,
+             shapelet_lengths=(0.1, 0.3), batch_size=8, train_epochs=1,
+             patience=2, target_channels=6, target_timepoints=80, amp=False,
+             use_pallas=False, seed=0, log_interval=100,
+             checkpoint_dir=os.path.join({out!r}, "ckpt-%d" % jax.process_index()),
+             result_dir=os.path.join({out!r}, "res"))
+results, sl = run_loso_multihost(cfg, n_subjects=2, synthetic=True,
+                                 verbose=False)
+path = os.path.join({out!r}, "folds_%d.json" % jax.process_index())
+with open(path, "w") as f:
+    json.dump({{"folds": [r["held_out_subject"] for r in results],
+               "acc": [r["accuracy"] for r in results]}}, f)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_loso_disjoint(tmp_path):
+    """Two real jax.distributed CPU processes split the LOSO folds without
+    overlap (VERDICT r1 #10)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo, cache=str(tmp_path / "cache"),
+                                     out=str(tmp_path)))
+    env_base = {**os.environ, "SIE_TPU_COORDINATOR": "localhost:29731",
+                "SIE_TPU_NUM_PROCESSES": "2", "JAX_PLATFORMS": "cpu"}
+    env_base.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, str(script)],
+                              env={**env_base, "SIE_TPU_PROCESS_ID": str(i)},
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    folds = []
+    for i in range(2):
+        with open(tmp_path / f"folds_{i}.json") as f:
+            data = json.load(f)
+        assert len(data["folds"]) == 1  # 2 folds over 2 hosts -> 1 each
+        assert np.isfinite(data["acc"]).all()
+        folds.extend(data["folds"])
+    assert sorted(folds) == [0, 1]

@@ -50,6 +50,7 @@ def test_partition_specs_rules(uea_root, tmp_path):
     assert sbm["output_layer"]["kernel"] == jax.sharding.PartitionSpec("model", None)
 
 
+@pytest.mark.slow
 def test_dp_training_matches_single_device(uea_root, tmp_path):
     """Data-parallel sharded training must produce the same numbers as the
     single-device run (identical batches, deterministic ops)."""
@@ -67,6 +68,7 @@ def test_dp_training_matches_single_device(uea_root, tmp_path):
     assert abs(m1["loss"] - m2["loss"]) < 5e-4
 
 
+@pytest.mark.slow
 def test_dp_mp_training_runs(uea_root, tmp_path):
     cfg = par_cfg(uea_root, tmp_path, (4, 2))
     mesh = make_mesh(cfg)
@@ -76,6 +78,7 @@ def test_dp_mp_training_runs(uea_root, tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_loso_fold_parallel(tmp_path):
     """LOSO folds as a mapped axis: each fold trains with a different held-out
     subject; here just assert the driver produces one result per subject."""

@@ -41,6 +41,7 @@ def test_subsample_batch():
     assert subsample_batch(x2).shape[1] == 500
 
 
+@pytest.mark.slow
 def test_regression_experiment_sbm(monash_root, tmp_path):
     cfg = Config(data="Monash", data_root=monash_root, dataset="ToyReg",
                  task_name="regression", model="SBM", num_shapelet=2,

@@ -20,6 +20,7 @@ def make_cfg(root, tmp, epochs, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_resume_bitwise_equal(tmp_path):
     write_synthetic_uea(str(tmp_path / "data"), "Toy", n_train=16, n_test=8,
                         n_dims=2, length=24, n_classes=2, seed=13)

@@ -82,6 +82,7 @@ def test_pallas_interpret_inside_shard_map(rng, mesh):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_training_with_shard_map_matches(rng, tmp_path):
     """InterpGN training on a (4,2) mesh (SBM via explicit shard_map) must
     match the single-device run."""

@@ -67,6 +67,7 @@ def torch_step(x_np, y_np, banks_np, kernel_np):
             lin.weight.detach().numpy().T)
 
 
+@pytest.mark.slow
 def test_one_adam_step_matches_torch(rng):
     cfg = Config(data="UEA", model="SBM", seq_len=30, enc_in=3, num_class=2,
                  num_shapelet=2, shapelet_lengths=(0.1, 0.3), dropout=0.0,

@@ -22,6 +22,7 @@ def uea_root(tmp_path_factory):
 def small_cfg(uea_root, tmp_path, **kw):
     base = dict(data="UEA", data_root=uea_root, dataset="Toy",
                 model="SBM", dnn_type="FCN", num_shapelet=3,
+                shapelet_lengths=(0.1, 0.3),  # 2 banks: compile cost, not coverage
                 batch_size=8, train_epochs=8, patience=10, log_interval=100,
                 lr=5e-3, seed=0, amp=False, use_pallas=False,
                 checkpoint_dir=str(tmp_path / "ckpt"),
@@ -30,6 +31,7 @@ def small_cfg(uea_root, tmp_path, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_sbm_learns_toy_problem(uea_root, tmp_path):
     exp = Experiment(small_cfg(uea_root, tmp_path), verbose=False)
     exp.train()

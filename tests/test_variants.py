@@ -19,6 +19,7 @@ def uea_root(tmp_path_factory):
 def cfg_for(uea_root, tmp_path, **kw):
     base = dict(data="UEA", data_root=uea_root, dataset="Toy", model="SBM",
                 num_shapelet=2, batch_size=8, train_epochs=2, patience=3,
+                shapelet_lengths=(0.1, 0.3),
                 log_interval=100, amp=False, use_pallas=False, seed=0,
                 d_model=8, d_ff=16, n_heads=2, e_layers=1, top_k=2,
                 num_kernels=2,
@@ -50,6 +51,7 @@ def test_classifier_heads_train(uea_root, tmp_path, cls):
     _train_and_test(cfg_for(uea_root, tmp_path, sbm_cls=cls))
 
 
+@pytest.mark.slow
 def test_interpgn_timesnet_trains(uea_root, tmp_path):
     """Gradient flow through the shape-static TimesNet fold."""
     _train_and_test(cfg_for(uea_root, tmp_path, model="InterpGN",
@@ -63,6 +65,7 @@ def test_interpgn_test_time_gating(uea_root, tmp_path):
     np.testing.assert_allclose(np.asarray(res.eta), 1.0)
 
 
+@pytest.mark.slow
 def test_eeg_39class(tmp_path):
     cfg = Config(data="EEG", data_root=str(tmp_path / "none"),
                  cache_dir=str(tmp_path / "cache"), model="SBM",
