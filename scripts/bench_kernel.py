@@ -104,11 +104,15 @@ def bench_model(mode: str, iters: int) -> float:
     from sie_tpu.data.loader import ArrayDataset
     from sie_tpu.train.trainer import Trainer
 
-    model = {"sbm_step": "SBM", "step": "InterpGN", "dnn_step": "DNN"}[mode]
+    model = {"sbm_step": "SBM", "step": "InterpGN", "dnn_step": "DNN",
+             "dnn_step0": "DNN", "dnn_step1": "DNN",
+             "dnn_flash": "DNN"}[mode]
+    e_layers = {"dnn_step0": 0, "dnn_step1": 1}.get(mode, 2)
     cfg = Config(data="EEG3", model=model, dnn_type="Transformer",
                  seq_len=SEQ_LEN, enc_in=ENC_IN, num_class=NUM_CLASS,
                  num_shapelet=NSH, d_model=512, d_ff=2048, n_heads=8,
-                 e_layers=2, batch_size=BATCH, dropout=0.0, amp=True,
+                 e_layers=e_layers, batch_size=BATCH, dropout=0.0, amp=True,
+                 use_flash_attention=(mode == "dnn_flash"),
                  use_pallas=True, seed=0)
     rng = np.random.default_rng(0)
     n = 2 * BATCH
