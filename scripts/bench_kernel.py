@@ -104,15 +104,16 @@ def bench_model(mode: str, iters: int) -> float:
     from sie_tpu.data.loader import ArrayDataset
     from sie_tpu.train.trainer import Trainer
 
-    model = {"sbm_step": "SBM", "step": "InterpGN", "dnn_step": "DNN",
-             "dnn_step0": "DNN", "dnn_step1": "DNN",
-             "dnn_flash": "DNN"}[mode]
+    model = {"sbm_step": "SBM", "step": "InterpGN"}.get(mode, "DNN")
     e_layers = {"dnn_step0": 0, "dnn_step1": 1}.get(mode, 2)
-    cfg = Config(data="EEG3", model=model, dnn_type="Transformer",
+    dnn = {"timesnet_step": "TimesNet", "patchtst_step": "PatchTST",
+           "resnet_step": "ResNet", "fcn_step": "FCN"}.get(mode, "Transformer")
+    cfg = Config(data="EEG3", model=model, dnn_type=dnn,
                  seq_len=SEQ_LEN, enc_in=ENC_IN, num_class=NUM_CLASS,
                  num_shapelet=NSH, d_model=512, d_ff=2048, n_heads=8,
                  e_layers=e_layers, batch_size=BATCH, dropout=0.0, amp=True,
                  use_flash_attention=(mode == "dnn_flash"),
+                 top_k=5, num_kernels=6,
                  use_pallas=True, seed=0)
     rng = np.random.default_rng(0)
     n = 2 * BATCH

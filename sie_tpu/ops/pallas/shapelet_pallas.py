@@ -138,6 +138,8 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
             # d|s-x|/ds * g == select(s > x, g, -g); exact ties contribute g
             # instead of sign's 0 — measure-zero for continuous data, and the
             # reference's own two autograd paths already disagree there.
+            # (copysign(g, s-x) is WRONG — it drops g's own sign — and
+            # measured slower anyway: 180.6 vs 151.8 ms fwd+bwd.)
             part = part + jnp.where(s > xs[None, :, :], gw, -gw)
         out_ref[:] += part * inv_l   # grid-shared accumulator (see docstring)
         return 0
