@@ -126,3 +126,70 @@ def test_anomaly_segments(tmp_path):
     w, lab = te[0]
     assert w.shape == (100, 8) and lab.shape == (100,)
     assert abs(tr.values.mean()) < 0.1  # standardized on train
+
+
+def _write_m4_group_csvs(tmp_path, group, n_series, train_len, horizon, seed):
+    rng = np.random.default_rng(seed)
+    rows_tr = {"V1": [f"{group[0]}{i + 1}" for i in range(n_series)]}
+    rows_te = {"V1": rows_tr["V1"]}
+    for j in range(train_len):
+        rows_tr[f"c{j}"] = rng.uniform(10, 100, n_series)
+    for j in range(horizon):
+        rows_te[f"c{j}"] = rng.uniform(10, 100, n_series)
+    tr = tmp_path / f"{group}-train.csv"
+    te = tmp_path / f"{group}-test.csv"
+    pd.DataFrame(rows_tr).to_csv(tr, index=False)
+    pd.DataFrame(rows_te).to_csv(te, index=False)
+    return str(tr), str(te)
+
+
+def test_m4_cache_roundtrip_and_meta(tmp_path):
+    from sie_tpu.data.m4 import M4Dataset, M4Meta, build_m4_cache
+    csvs = {"Yearly": _write_m4_group_csvs(tmp_path, "Yearly", 4, 20, 6, 0),
+            "Hourly": _write_m4_group_csvs(tmp_path, "Hourly", 3, 60, 48, 1)}
+    cache = tmp_path / "m4cache"
+    build_m4_cache(csvs, str(cache))
+    tr = M4Dataset.load(training=True, dataset_file=str(cache))
+    te = M4Dataset.load(training=False, dataset_file=str(cache))
+    assert len(tr.ids) == 7 and (tr.groups == "Yearly").sum() == 4
+    assert tr.horizons[0] == M4Meta.horizons_map["Yearly"] == 6
+    assert len(tr.values[0]) == 20 and len(te.values[0]) == 6
+    assert tr.frequencies[-1] == M4Meta.frequency_map["Hourly"] == 24
+
+
+def test_m4_summary_owa_one_for_naive2(tmp_path):
+    """If the model forecast IS the Naive2 submission, OWA == 1 everywhere."""
+    from sie_tpu.data.m4 import build_m4_cache
+    from sie_tpu.utils.m4_summary import M4Summary
+    csvs = {g: _write_m4_group_csvs(tmp_path, g, 3, 30, h, i)
+            for i, (g, h) in enumerate(
+                [("Yearly", 6), ("Quarterly", 8), ("Monthly", 18),
+                 ("Weekly", 13), ("Daily", 14), ("Hourly", 48)])}
+    cache = tmp_path / "m4cache"
+    build_m4_cache(csvs, str(cache))
+
+    # naive2 submission: last train value repeated over the horizon
+    from sie_tpu.data.m4 import M4Dataset, M4Meta
+    tr = M4Dataset.load(True, str(cache))
+    naive_rows, max_h = [], max(M4Meta.horizons)
+    fdir = tmp_path / "forecasts"
+    fdir.mkdir()
+    per_group = {}
+    for i, sid in enumerate(tr.ids):
+        h = int(tr.horizons[i])
+        fc = np.full(h, tr.values[i][-1])
+        row = np.full(max_h, np.nan)
+        row[:h] = fc
+        naive_rows.append([sid] + row.tolist())
+        per_group.setdefault(tr.groups[i], []).append(fc)
+    pd.DataFrame(naive_rows).to_csv(cache / "submission-Naive2.csv",
+                                    index=False)
+    for g, rows in per_group.items():
+        pd.DataFrame(np.stack(rows)).to_csv(fdir / f"{g}_forecast.csv",
+                                            index=False)
+
+    smape, owa, mape_, mase_ = M4Summary(str(fdir) + "/", str(cache)).evaluate()
+    for k, v in owa.items():
+        assert abs(v - 1.0) < 1e-9, (k, v)
+    assert set(smape) == {"Yearly", "Quarterly", "Monthly", "Others", "Average"}
+    assert all(np.isfinite(list(mase_.values())))
