@@ -64,13 +64,18 @@ def bench_ours() -> float:
     float(jax.device_get(loss))  # full sync (block_until_ready alone does not
     # guarantee execution completion through the axon relay backend)
     print("[bench] warmup done; timing...", file=sys.stderr)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, loss, _ = trainer.train_step_indexed(state, dev, idxs[i], w, 1.0)
-    float(jax.device_get(loss))  # chain-dependent final fetch = real wall time
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"[bench] ours: {dt * 1e3:.1f} ms/step (batch {BATCH}) "
-          f"on {jax.default_backend()}", file=sys.stderr)
+    reps = []
+    for _rep in range(3):  # median of 3 chains: relay timing wobbles ~±15%
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, loss, _ = trainer.train_step_indexed(state, dev, idxs[i],
+                                                        w, 1.0)
+        float(jax.device_get(loss))  # chain-dependent final fetch = wall time
+        reps.append((time.perf_counter() - t0) / ITERS)
+    dt = float(np.median(reps))
+    print(f"[bench] ours: {dt * 1e3:.1f} ms/step (batch {BATCH}, median of "
+          f"{[round(r * 1e3, 1) for r in reps]}) on {jax.default_backend()}",
+          file=sys.stderr)
     return BATCH / dt
 
 

@@ -126,9 +126,17 @@ class FullAttentionLayer(nn.Module):
         if use_flash:
             out = self._flash(q, k, v, dk)
         else:
-            scores = jnp.einsum("blhe,bshe->bhls", q, k,
-                                preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(scores / math.sqrt(dk), axis=-1)
+            if self.dtype == jnp.bfloat16:
+                # torch-autocast parity: the score matrix is STORED bf16
+                # (MXU still accumulates f32); softmax reads it upcast.
+                # Perf-neutral on v5e (measured 58.1 vs 57.5 ms DNN step) —
+                # kept for numerics parity with the reference's autocast bmm.
+                scores = jnp.einsum("blhe,bshe->bhls", q, k)
+            else:
+                scores = jnp.einsum("blhe,bshe->bhls", q, k,
+                                    preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(scores.astype(jnp.float32) / math.sqrt(dk),
+                               axis=-1)
             a = nn.Dropout(self.attention_dropout)(a, deterministic=not train)
             out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)

@@ -40,13 +40,17 @@ _MAX_TILE_ELEMS = 1280 * 1024  # per-buffer cap (n * WT * C floats) ~ 5 MB
 def _window_tile(n: int, c: int, w: int) -> int:
     """Window-tile size: fits the VMEM budget AND balances the tiles so the
     padded tail is minimal (an unbalanced split wastes up to ~40% compute)."""
-    wt_max = max(8, _MAX_TILE_ELEMS // max(n * c, 1))
+    wt_max = max(16, _MAX_TILE_ELEMS // max(n * c, 1))
     n_tiles = -(-w // wt_max)
     wt = -(-w // n_tiles)
-    return -(-wt // 8) * 8  # round up to sublane multiple
+    return -(-wt // _TAPS) * _TAPS  # bwd chunks the tile by _TAPS windows
 
 
-_L_CHUNK = 8  # l-loop unroll: one aligned load per k, static sub-slices
+_L_CHUNK = 8    # sublane modulus: number of shifted copies
+_TAPS = 8       # taps unrolled per fori iteration. Any tap is reachable from
+# the 8 copies (x8[li % 8] at aligned offset 8*(li//8)); 16 taps/iteration
+# measured WORSE (fwd 72.8 vs 69.3 ms, fwd+bwd 156 vs 152 — register
+# pressure beats the halved accumulator RMW), so 8 it is.
 
 
 def _fill_shifted(x_ref, x8_ref, start, t8):
@@ -67,7 +71,7 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, acc_ref, *, stride: int):
     n, l, c = s_ref.shape
     wt = out_ref.shape[2]
     w0 = pl.program_id(1) * wt
-    ck = _L_CHUNK
+    ck = _TAPS
     t8 = x8_ref.shape[1]
     _fill_shifted(x_ref, x8_ref, w0 * stride, t8)
     acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -79,8 +83,9 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, acc_ref, *, stride: int):
         sch = s_ref[:, pl.ds(base, ck), :]                # (n, ck, C)
         part = jnp.zeros((n, wt, c), jnp.float32)
         for k in range(ck):
-            # x[(w0+w)*stride + base + k] — aligned in x8[k] (base = 8*ci)
-            xs = x8_ref[k, pl.ds(base, span), :]
+            # tap base+k == x8[k % 8] at aligned offset base + 8*(k//8)
+            xs = x8_ref[k % _L_CHUNK,
+                        pl.ds(base + (k // _L_CHUNK) * _L_CHUNK, span), :]
             if stride > 1:
                 xs = xs[::stride, :]
             part = part + jnp.abs(xs[None, :, :] - sch[:, k: k + 1, :])
@@ -93,7 +98,9 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, acc_ref, *, stride: int):
     tail = jnp.zeros((n, wt, c), jnp.float32)
     base0 = l - l % ck
     for li in range(base0, l):
-        xs = x8_ref[li - base0, pl.ds(base0, span), :]
+        k = li - base0
+        xs = x8_ref[k % _L_CHUNK,
+                    pl.ds(base0 + (k // _L_CHUNK) * _L_CHUNK, span), :]
         if stride > 1:
             xs = xs[::stride, :]
         tail = tail + jnp.abs(xs[None, :, :] - s_ref[:, li: li + 1, :])
@@ -124,7 +131,7 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ck = _L_CHUNK
+    ck = _TAPS
     inv_l = 1.0 / l
 
     def chunk_body(ci, _):
@@ -132,7 +139,10 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
         gch = g_ref[0, :, pl.ds(wbase, ck), :]            # (n, ck, C)
         part = jnp.zeros((n, l, c), jnp.float32)
         for k in range(ck):
-            xs = x8_ref[k, pl.ds(wbase * stride, l), :]   # aligned (stride 1)
+            # window w0+wbase+k == x8[k % 8] at offset (wbase + 8*(k//8))*s
+            xs = x8_ref[k % _L_CHUNK,
+                        pl.ds((wbase + (k // _L_CHUNK) * _L_CHUNK) * stride,
+                              l), :]                      # aligned (stride 1)
             gw = gch[:, k: k + 1, :]
             gw = jnp.where(w0 + wbase + k < w_total, gw, 0.0)
             # d|s-x|/ds * g == select(s > x, g, -g); exact ties contribute g
@@ -163,7 +173,7 @@ def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
     """(B, C, T) -> channels-last (B, T_pad, C) with enough tail padding that
     every shifted-copy fill of the padded tail tile stays in bounds."""
     xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
-    pad = wt * stride + l + 3 * _L_CHUNK
+    pad = wt * stride + l + 5 * _L_CHUNK
     return jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
 
 
@@ -196,7 +206,7 @@ def _l1_fwd(x, s, stride, interpret):
         out_specs=pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, l + (wt - 1) * stride + 1 + _L_CHUNK, c),
+            pltpu.VMEM((_L_CHUNK, l + (wt - 1) * stride + 1 + 3 * _L_CHUNK, c),
                        jnp.float32),
             pltpu.VMEM((n, wt, c), jnp.float32),
         ],
@@ -243,8 +253,8 @@ def _l1_bwd_rule(stride, interpret, res, g):
         out_specs=pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, (wt - _L_CHUNK) * stride + l + _L_CHUNK, c),
-                       jnp.float32),
+            pltpu.VMEM((_L_CHUNK, (wt - _L_CHUNK) * stride + l + 3 * _L_CHUNK,
+                        c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * w * l,
