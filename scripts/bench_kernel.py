@@ -108,9 +108,13 @@ def bench_model(mode: str, iters: int) -> float:
     e_layers = {"dnn_step0": 0, "dnn_step1": 1}.get(mode, 2)
     dnn = {"timesnet_step": "TimesNet", "patchtst_step": "PatchTST",
            "resnet_step": "ResNet", "fcn_step": "FCN"}.get(mode, "Transformer")
+    # TimesNet at the run.py default width (512/2048) is ~130 TFLOP per
+    # Inception pass BY CONSTRUCTION (286 taps == the reference's Conv2d
+    # flops) — bench it at the TSlib-typical classification width instead.
+    d_model, d_ff = (32, 32) if dnn == "TimesNet" else (512, 2048)
     cfg = Config(data="EEG3", model=model, dnn_type=dnn,
                  seq_len=SEQ_LEN, enc_in=ENC_IN, num_class=NUM_CLASS,
-                 num_shapelet=NSH, d_model=512, d_ff=2048, n_heads=8,
+                 num_shapelet=NSH, d_model=d_model, d_ff=d_ff, n_heads=8,
                  e_layers=e_layers, batch_size=BATCH, dropout=0.0, amp=True,
                  use_flash_attention=(mode == "dnn_flash"),
                  top_k=5, num_kernels=6,

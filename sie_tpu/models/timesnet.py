@@ -87,7 +87,12 @@ class InceptionConvSeq(nn.Module):
             return acc + contrib, None
 
         acc0 = jnp.zeros((x.shape[0], t2, self.c_out), jnp.float32)
-        acc, _ = jax.lax.scan(body, acc0, (tap_dr, tap_dc, wdt))
+        # remat the tap body: without it the scan saves shifted*valid
+        # (B, T2, C_in) residuals for EVERY tap — 286 taps x (64,1690,512)
+        # bf16 = 31.8 GB at the EEG default config (observed OOM). Recompute
+        # costs one extra roll+mask per tap in the backward.
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0,
+                              (tap_dr, tap_dc, wdt))
         mean_bias = jnp.mean(bias, axis=0)
         return acc / self.num_kernels + mean_bias[None, None, :]
 

@@ -117,7 +117,9 @@ class RegressionExperiment:
                 if early(val_loss):
                     best = (jax.device_get(self.state.params),
                             jax.device_get(self.state.batch_stats))
-                    ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1])
+                    ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1],
+                                         meta={"epoch_stop": epoch,
+                                               "val_loss": float(val_loss)})
             if early.early_stop:
                 self._log("Early stopping")
                 self.epoch_stop = epoch
@@ -138,6 +140,10 @@ class RegressionExperiment:
         self.state = self.state.replace(
             params=jax.device_put(restored["params"]),
             batch_stats=jax.device_put(restored["batch_stats"]))
+        # restored runs report the true stop epoch in the CSV, like the
+        # classification experiment
+        self.epoch_stop = ckpt.load_meta(self.checkpoint_dir).get(
+            "epoch_stop", self.epoch_stop)
         return True
 
     def has_checkpoint(self) -> bool:
