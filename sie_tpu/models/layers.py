@@ -183,7 +183,9 @@ class Encoder(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
+        # `train` is positional-or-keyword so nn.remat(static_argnums=(2,))
+        # can mark it static (PatchTST remats this encoder).
         for i in range(self.e_layers):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,

@@ -15,6 +15,26 @@ from sie_tpu.config import Config
 from sie_tpu.models.layers import Encoder, sinusoidal_embedding
 
 
+class _EncoderChunk(nn.Module):
+    """Scan body: applies the shared encoder to one chunk of channel rows.
+    (carry is unused; nn.scan requires the (carry, x) -> (carry, y) shape.)"""
+
+    config: Config
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, x):
+        cfg = self.config
+        enc = nn.remat(Encoder, static_argnums=(2,))(
+            cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
+            cfg.dropout, cfg.activation, dtype=cfg.compute_dtype,
+            use_flash=cfg.use_flash_attention, name="encoder")
+        return carry, enc(x, self.train)
+
+
+_CHUNK_ROWS = 2048  # max channel-rows per encoder scan step
+
+
 class PatchTST(nn.Module):
     config: Config
     patch_len: int = 16
@@ -47,10 +67,24 @@ class PatchTST(nn.Module):
         pe = jnp.asarray(sinusoidal_embedding(patch_num, cfg.d_model), dtype=h.dtype)
         h = nn.Dropout(cfg.dropout)(h + pe[None], deterministic=not train)
 
-        h = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
-                    cfg.dropout, cfg.activation, dtype=dt,
-                    use_flash=cfg.use_flash_attention,
-                    name="encoder")(h, train=train)
+        # Channel independence multiplies the effective batch by C (B*C=7808
+        # rows at EEG width); even single FFN intermediates are then
+        # (7808, 105, 2048) bf16 = 3.1 GB and the step needs ~20 GB (observed
+        # OOM on v5e). TPU-first fix: lax.scan the shared encoder over
+        # channel-row chunks (sequential => peak activations / n_chunks, same
+        # flops) with remat inside each chunk. Params are broadcast, so the
+        # checkpoint tree is chunk-count independent.
+        rows = b * c
+        n_chunks = max(1, -(-rows // _CHUNK_ROWS))
+        chunk = -(-rows // n_chunks)
+        pad_rows = n_chunks * chunk - rows
+        hp = jnp.pad(h, ((0, pad_rows), (0, 0), (0, 0)))
+        hp = hp.reshape(n_chunks, chunk, patch_num, cfg.d_model)
+        scan = nn.scan(_EncoderChunk, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=0, out_axes=0)
+        _, hs = scan(cfg, train, name="enc_scan")(None, hp)
+        h = hs.reshape(n_chunks * chunk, patch_num, cfg.d_model)[:rows]
 
         h = h.reshape(b, c * patch_num * cfg.d_model)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)

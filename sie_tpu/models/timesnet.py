@@ -27,6 +27,9 @@ from sie_tpu.config import Config
 from sie_tpu.models.layers import DataEmbedding
 
 
+
+
+
 def _inception_taps(num_kernels: int) -> np.ndarray:
     """Static (tap -> kernel_index, dr, dc) table for Inception_Block_V1
     (reference layers/Conv_Blocks.py:5-30: odd kernels 1,3,...,2K-1, padding to
@@ -70,29 +73,41 @@ class InceptionConvSeq(nn.Module):
         col = jnp.mod(pos, period)                       # traced period OK
         in_canvas = pos < canvas_len
         xdt = x.astype(self.dtype)
-        tap_dr = jnp.asarray(taps[:, 1])
-        tap_dc = jnp.asarray(taps[:, 2])
-        wdt = w.astype(self.dtype)
 
-        def body(acc, tap):
-            dr, dc, wi = tap
-            shift = dr * period + dc
-            shifted = jnp.roll(xdt, -shift, axis=1)
-            src = pos + shift
-            valid = ((col + dc >= 0) & (col + dc < period)
-                     & (src >= 0) & (src < canvas_len) & in_canvas)
-            contrib = jnp.einsum("btc,cf->btf",
-                                 shifted * valid[None, :, None].astype(xdt.dtype),
-                                 wi, preferred_element_type=jnp.float32)
+        # By linearity, the MEAN over the K Inception branches collapses to
+        # ONE (2K-1)x(2K-1) conv whose tap weights are the sum over the
+        # branches covering that offset: (1/K) sum_ki sum_{dr,dc<=ki}
+        # W_ki[dr,dc] x[..] == (1/K) sum_{dr,dc} W_eff[dr,dc] x[..]. That
+        # cuts 286 taps to 121 AND lets the dynamic roll (a gather — the
+        # dominant cost: per-tap rolls measured ~1 s/step at width 32) be
+        # hoisted to one per ROW offset; the 11 column shifts are static.
+        j = self.num_kernels - 1
+        grid = 2 * j + 1
+        gid = (taps[:, 1] + j) * grid + (taps[:, 2] + j)
+        w_eff = jax.ops.segment_sum(w.astype(self.dtype),
+                                    jnp.asarray(gid), num_segments=grid * grid)
+        w_rows = w_eff.reshape(grid, grid, self.c_in, self.c_out)
+        dr_vals = jnp.arange(-j, j + 1)
+
+        def body(acc, row):
+            dr, w_row = row                              # w_row (grid, Ci, Co)
+            x_dr = jnp.roll(xdt, -dr * period, axis=1)   # ONE dynamic roll
+            cols = []
+            for dc in range(-j, j + 1):
+                shifted = jnp.roll(x_dr, -dc, axis=1)    # static shift
+                src = pos + dr * period + dc
+                valid = ((col + dc >= 0) & (col + dc < period)
+                         & (src >= 0) & (src < canvas_len) & in_canvas)
+                cols.append(shifted * valid[None, :, None].astype(xdt.dtype))
+            xg = jnp.stack(cols, axis=2)                 # (B, T2, grid, C_in)
+            contrib = jnp.einsum("btgc,gcf->btf", xg, w_row,
+                                 preferred_element_type=jnp.float32)
             return acc + contrib, None
 
         acc0 = jnp.zeros((x.shape[0], t2, self.c_out), jnp.float32)
-        # remat the tap body: without it the scan saves shifted*valid
-        # (B, T2, C_in) residuals for EVERY tap — 286 taps x (64,1690,512)
-        # bf16 = 31.8 GB at the EEG default config (observed OOM). Recompute
-        # costs one extra roll+mask per tap in the backward.
-        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0,
-                              (tap_dr, tap_dc, wdt))
+        # remat: without it the scan saves the (B, T2, grid, C_in) residual
+        # of every row — ~14 GB at the EEG default width (observed OOM class).
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (dr_vals, w_rows))
         mean_bias = jnp.mean(bias, axis=0)
         return acc / self.num_kernels + mean_bias[None, None, :]
 
