@@ -39,11 +39,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if not coordinator_address or (num_processes or 1) <= 1:
         return False
     import jax
+    global _INITIALIZED
+    if _INITIALIZED:  # idempotent: run.py calls this once per seed
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
                                local_device_ids=local_device_ids)
+    _INITIALIZED = True
     return True
+
+
+_INITIALIZED = False
 
 
 def host_fold_slice(n_folds: int, process_index: Optional[int] = None,

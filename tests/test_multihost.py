@@ -81,3 +81,23 @@ def test_two_process_loso_disjoint(tmp_path):
         assert np.isfinite(data["acc"]).all()
         folds.extend(data["folds"])
     assert sorted(folds) == [0, 1]
+
+
+def test_init_distributed_idempotent(monkeypatch):
+    """run.py calls init_distributed once per seed; the second call must not
+    re-run jax.distributed.initialize."""
+    import sie_tpu.parallel.multihost as mh
+    calls = []
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
+
+    class FakeDist:
+        @staticmethod
+        def initialize(**kw):
+            calls.append(kw)
+
+    import jax
+    monkeypatch.setattr(jax, "distributed", FakeDist)
+    assert mh.init_distributed("localhost:1", 2, 0) is True
+    assert mh.init_distributed("localhost:1", 2, 0) is True
+    assert len(calls) == 1
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
