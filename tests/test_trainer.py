@@ -33,7 +33,11 @@ def small_cfg(uea_root, tmp_path, **kw):
 
 @pytest.mark.slow
 def test_sbm_learns_toy_problem(uea_root, tmp_path):
-    exp = Experiment(small_cfg(uea_root, tmp_path), verbose=False)
+    # full 6-bank capacity: this test certifies LEARNING, not just running
+    # (2 banks plateau at ~56% on this toy problem)
+    cfg = small_cfg(uea_root, tmp_path,
+                    shapelet_lengths=(0.05, 0.1, 0.2, 0.3, 0.5, 0.8))
+    exp = Experiment(cfg, verbose=False)
     exp.train()
     loss, metrics, df = exp.test(save_csv=True)
     assert metrics["accuracy"] > 60.0  # well above the 50% baseline
