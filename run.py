@@ -113,6 +113,10 @@ def get_args(argv=None):
     p.add_argument("--output_attention", action="store_true")
     p.add_argument("--label_len", type=int, default=48)
     p.add_argument("--pred_len", type=int, default=96)
+    p.add_argument("--seasonal_patterns", type=str, default="Monthly",
+                   help="M4 subset (reference run.py:134)")
+    p.add_argument("--inverse", action="store_true", default=False,
+                   help="inverse-transform forecast outputs (run.py:135)")
     # ===== TPU-specific =====
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")

@@ -107,6 +107,8 @@ class Config:
     freq: str = "h"
     label_len: int = 48
     pred_len: int = 96
+    seasonal_patterns: str = "Monthly"  # M4 subset (reference run.py:134)
+    inverse: bool = False               # forecast inverse transform (run.py:135)
 
     # ===== data-derived (injected by the experiment) =====
     seq_len: int = 845

@@ -57,8 +57,13 @@ def _forecast(kind: str):
 
 def _m4(cfg: Config, flag: str, **_):
     from sie_tpu.data.forecast import load_m4_csv
-    path = os.path.join(cfg.data_root, f"{cfg.dataset}.csv")
-    return load_m4_csv(path, cfg.seq_len, cfg.pred_len)
+    from sie_tpu.data.m4 import M4Meta
+    # --seasonal_patterns picks the M4 subset (reference run.py:134); its
+    # horizon overrides pred_len like the reference's M4Meta lookup.
+    name = cfg.seasonal_patterns
+    pred = M4Meta.horizons_map.get(name, cfg.pred_len)
+    path = os.path.join(cfg.data_root, f"{name}.csv")
+    return load_m4_csv(path, cfg.seq_len, pred)
 
 
 def _anomaly(name: str):

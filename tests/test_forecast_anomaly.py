@@ -107,11 +107,14 @@ def test_provider_routes_m4(tmp_path):
     for j in range(60):
         rows[f"c{j}"] = rng.normal(size=6)
     pd.DataFrame(rows).to_csv(tmp_path / "Monthly.csv", index=False)
-    cfg = Config(data="m4", data_root=str(tmp_path), dataset="Monthly",
+    cfg = Config(data="m4", data_root=str(tmp_path),
+                 seasonal_patterns="Monthly",
                  seq_len=30, pred_len=6, batch_size=3, seed=0)
     ds, batcher = data_provider(cfg, "train")
     ins, outs = next(iter(batcher))
-    assert ins.shape == (3, 30) and outs.shape == (3, 6)
+    # the subset's M4 horizon (Monthly=18) overrides pred_len, like the
+    # reference's M4Meta lookup
+    assert ins.shape == (3, 30) and outs.shape == (3, 18)
 
 
 def test_anomaly_segments(tmp_path):
