@@ -109,6 +109,177 @@ def fwd_v4(x, s):
     return jnp.swapaxes(out, 2, 3)
 
 
+# ----------------------------------------------- v6: register-tiled windows
+# Hypothesis: in the library kernel the (n, WT, C) part-chain makes Mosaic
+# iterate n outermost over vregs, so the xs window slice is re-read from VMEM
+# once PER SHAPELET (~1.1 loads/element — the dominant non-ALU term in the
+# roofline). Fix: shrink the window tile to WS (register-resident: n separate
+# (WS, C) accumulators as SSA values), loop l in fori with 8-tap unroll; xs is
+# then ONE SSA value reused by all n accumulators.
+
+V6_WS = int(os.environ.get("V6_WS", "16"))
+
+
+def _fwd_kernel_v6(x_ref, s_ref, out_ref, x8_ref):
+    # x_ref: (1, T_pad, C) @ (i, 0, 0) — same block across all j (fetched once
+    # per batch row); s_ref: (n, L, C); out_ref: (1, n, WS, C) @ (i, 0, j, 0)
+    # x8_ref: persistent scratch (8, T8, C), filled once per batch row (j==0).
+    n, l, c = s_ref.shape
+    ws = out_ref.shape[2]
+    j = pl.program_id(1)
+    t8 = x8_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(CK):
+            x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
+
+    ws0 = j * ws
+
+    def chunk_body(ci, accs):
+        base = ci * CK
+        sch = s_ref[:, pl.ds(base, CK), :]                 # (n, CK, C)
+        for k in range(CK):
+            xs = x8_ref[k, pl.ds(ws0 + base, ws), :]       # aligned (WS%8==0)
+            accs = tuple(a + jnp.abs(xs - sch[ni, k]) for ni, a in enumerate(accs))
+        return accs
+
+    accs = tuple(jnp.zeros((ws, c), jnp.float32) for _ in range(n))
+    if l >= CK:
+        accs = jax.lax.fori_loop(0, l // CK, chunk_body, accs)
+    tail0 = l - l % CK
+    for li in range(tail0, l):
+        k = li - tail0
+        xs = x8_ref[k, pl.ds(ws0 + tail0, ws), :]
+        accs = tuple(a + jnp.abs(xs - s_ref[ni, li]) for ni, a in enumerate(accs))
+    out_ref[0] = jnp.stack(accs) * (1.0 / l)
+
+
+def fwd_v6(x, s):
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = t - l + 1
+    ws = V6_WS
+    nws = -(-w // ws)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)          # (B, T, C)
+    t8 = nws * ws + l + CK
+    xp = jnp.pad(xt, ((0, 0), (0, t8 + CK - t), (0, 0)))
+    st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)
+    out = pl.pallas_call(
+        _fwd_kernel_v6,
+        out_shape=jax.ShapeDtypeStruct((b, n, w, c), jnp.float32),
+        grid=(b, nws),
+        in_specs=[
+            pl.BlockSpec((1, t8 + CK, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, ws, c), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((CK, t8, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n * c * w * l,
+            bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, st)
+    return jnp.swapaxes(out, 2, 3)
+
+
+# ----------------------------------------------- v6 backward: register-tiled
+# ds[n,l,c] = (1/L) sum_{b,w} select(s[n,l,c] > x[b,c,w+l], g, -g)[b,n,c,w]
+# Same register-tiling idea with (l <-> w) roles swapped: accumulators over an
+# (LS, C) l-subtile per shapelet (registers), loop windows in 8-chunks; the
+# s-subtile is loop-invariant over windows (live-in regs), g broadcasts per
+# (window, shapelet) amortize over LS/8 accumulator vregs.
+
+V6_LS = int(os.environ.get("V6_LS", "16"))
+
+
+def _bwd_kernel_v6(x_ref, s_ref, g_ref, out_ref, x8_ref, *, w_total: int):
+    n, l_pad, c = s_ref.shape
+    wt = g_ref.shape[2]
+    ls = V6_LS
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    w0 = j * wt
+    t8 = x8_ref.shape[1]
+    for k in range(CK):
+        x8_ref[k] = x_ref[0, pl.ds(w0 + k, t8), :]
+
+    @pl.when((b == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    inv_l = 1.0  # normalization folded into g host-side
+
+    def sub_body(li, _):
+        l0 = li * ls
+        s_tile = [s_ref[ni, pl.ds(l0, ls), :] for ni in range(n)]  # live-ins
+
+        def chunk_body(wi, accs):
+            wb = wi * CK
+            gch = g_ref[0, :, pl.ds(wb, CK), :]                # (n, CK, C)
+            for k in range(CK):
+                gk = jnp.where(w0 + wb + k < w_total, gch[:, k], 0.0)  # (n, C)
+                xs = x8_ref[k, pl.ds(l0 + wb, ls), :]          # aligned
+                accs = tuple(
+                    a + jnp.where(s_tile[ni] > xs, gk[ni], -gk[ni])
+                    for ni, a in enumerate(accs))
+            return accs
+
+        accs = tuple(jnp.zeros((ls, c), jnp.float32) for _ in range(n))
+        accs = jax.lax.fori_loop(0, wt // CK, chunk_body, accs)
+        cur = out_ref[:, pl.ds(l0, ls), :]
+        out_ref[:, pl.ds(l0, ls), :] = cur + jnp.stack(accs) * inv_l
+        return 0
+
+    jax.lax.fori_loop(0, l_pad // ls, sub_body, 0)
+
+
+def bwd_v6(x, s, g):
+    """g: (B, n, C, W) upstream grad -> grad_s (n, C, L)."""
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = g.shape[-1]
+    ls = V6_LS
+    l_pad = -(-l // ls) * ls
+    from sie_tpu.ops.pallas.shapelet_pallas import _window_tile
+    wt = _window_tile(n, c, w)
+    nwt = -(-w // wt)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    t8 = wt + l_pad + CK
+    xp = jnp.pad(xt, ((0, 0), (0, nwt * wt + l_pad + 2 * CK - t), (0, 0)))
+    st = jnp.pad(jnp.swapaxes(s.astype(jnp.float32), 1, 2),
+                 ((0, 0), (0, l_pad - l), (0, 0)))
+    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3) * (1.0 / l)  # (B,n,W,C)
+    grad = pl.pallas_call(
+        functools.partial(_bwd_kernel_v6, w_total=w),
+        out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
+        grid=(b, nwt),
+        in_specs=[
+            pl.BlockSpec((1, xp.shape[1], c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((CK, t8, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * c * w * l,
+            bytes_accessed=4 * (b * t * c + n * l_pad * c + b * n * w * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, st, gt)
+    return jnp.swapaxes(grad[:, :l, :], 1, 2)
+
+
 # ------------------------------------------------------- v5: dual partials
 def _fwd_kernel_v5(x_ref, s_ref, out_ref, x8_ref, acc_ref):
     """Library kernel + two independent partial accumulators inside the
@@ -197,12 +368,14 @@ def main():
     bs = banks(rng)
     sel = bs if bank_i < 0 else [bs[bank_i]]
 
-    if variant in ("v1", "v4", "v5"):
+    if variant in ("v1", "v4", "v5", "v6"):
         if variant == "v1":
             from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
             f = lambda x, s: l1_sliding_distance(x, s, 1)
         elif variant == "v5":
             f = fwd_v5
+        elif variant == "v6":
+            f = fwd_v6
         else:
             f = fwd_v4
 
@@ -230,6 +403,42 @@ def main():
                     * s.shape[-1] for s in sel)
         print(f"{variant} bank={bank_i}: {dt * 1e3:.2f} ms "
               f"({flops / dt / 1e12:.2f} TFLOP/s)  maxerr={err:.2e}")
+    elif variant in ("v1bwd", "v6bwd"):
+        # backward-only timing with a fixed dense upstream gradient
+        from sie_tpu.ops.pallas import shapelet_pallas as sp
+
+        if variant == "v1bwd":
+            f = lambda x, s, g: sp._l1_bwd_rule(1, False, (x, s), g)[1]
+        else:
+            f = bwd_v6
+
+        gs = [jnp.asarray(rng.normal(
+                size=(BATCH, NSH, ENC_IN, SEQ_LEN - s.shape[-1] + 1)
+              ).astype(np.float32)) for s in sel]
+
+        @jax.jit
+        def run(carry):
+            sel, gs = carry
+            outs = [f(x, s, g) for s, g in zip(sel, gs)]
+            return ([s + o * 1e-20 for s, o in zip(sel, outs)], gs)
+
+        state = run((sel, gs))
+        sync(state)
+        # correctness vs the scan-path VJP
+        from sie_tpu.ops.shapelet import _l1_distance
+        _, vjp = jax.vjp(lambda s: _l1_distance(x[:2], s, 1), sel[0])
+        want = vjp(gs[0][:2])[0]
+        got = f(x[:2], sel[0], gs[0][:2])
+        err = float(jnp.max(jnp.abs(want - got)) / jnp.max(jnp.abs(want)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = run(state)
+        sync(state)
+        dt = (time.perf_counter() - t0) / iters
+        flops = sum(4 * BATCH * NSH * ENC_IN * (SEQ_LEN - s.shape[-1] + 1)
+                    * s.shape[-1] for s in sel)
+        print(f"{variant} bank={bank_i}: {dt * 1e3:.2f} ms "
+              f"({flops / dt / 1e12:.2f} TFLOP/s)  relerr={err:.2e}")
     else:
         raise SystemExit(f"unknown variant {variant}")
 

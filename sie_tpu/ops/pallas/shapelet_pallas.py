@@ -4,25 +4,32 @@ the hot op of the whole framework (SURVEY.md SS3.3: the reference's
 
 d[b, n, c, w] = (1/L) * sum_l |x[b, c, w*stride + l] - s[n, c, l]|
 
-Design:
-- grid (batch, window-tiles); each program holds one series row, the whole
-  shapelet bank, and an (n, WT, C) output tile in VMEM — zero HBM traffic for
-  intermediates (the reference materializes the full 5-D broadcast or falls
-  back to a Python window loop).
+Design (round-2 "register-tiled" formulation — 1.7x over the round-1 tiled
+kernels, ~4.1 TFLOP/s effective fp32 = the VPU ALU roofline for the
+3-op/element |sub|+abs+add chain):
 - channels-last in-kernel layout (T, C) / (n, L, C) / (n, W, C): the dynamic
   offsets of the sliding window land on the SUBLANE axis (Mosaic supports
   dynamic sublane slices; dynamic lane slices it does not), and the channel
   axis sits on vector lanes (122 -> one 128-lane tile).
-- x is padded host-side by one window-tile span so every pl.ds read is
-  in-bounds even for the zero-padded tail tile; tail writes are masked by
-  Pallas automatically, tail gradient contributions are masked explicitly.
-- forward: fori over l; each step is a fully-vectorized (n, WT, C) VPU op.
-- backward (custom VJP): fori over the tile's windows; accumulates the
-  (n, L, C) shapelet-gradient tile in place — no strided stores. grad_x is
-  zero by contract (parity with the reference's memory-efficient autograd,
-  Shapelet.py:40; the input is always instance-normalized data).
-- grad_s accumulation exploits the sequential TPU grid: every program adds
-  into the same output block, initialized by the first program.
+- 8 sublane-shifted copies of the series row in VMEM scratch (filled once per
+  batch row) make every inner-loop window read sublane-ALIGNED.
+- forward: grid (batch, W/WS) with a SMALL window subtile WS so the n
+  per-shapelet (WS, C) accumulators live in vector REGISTERS (explicit SSA
+  values, fori carry). The x window slice is then loaded once and reused by
+  all n shapelets; the round-1 formulation's (n, WT, C) part-chain re-read it
+  once per shapelet (~1.1 VMEM loads/element — the dominant non-ALU term).
+- backward (custom VJP): same idea with the (l <-> w) roles swapped — grid
+  (batch, window-tiles), register accumulators over an (LS, C) l-subtile per
+  shapelet, windows walked in 8-chunks; the s-subtile is loop-invariant over
+  windows and the g broadcast amortizes over LS/8 accumulator vregs. The
+  (n, L, C) gradient output block has a constant index map, so it stays
+  VMEM-resident across the whole sequential grid and every program adds into
+  it (initialized by the first program). grad_x is zero by contract (parity
+  with the reference's memory-efficient autograd, Shapelet.py:40; the input
+  is always instance-normalized data).
+- x is padded host-side so every pl.ds read is in-bounds even for the
+  zero-padded tail tile; tail output writes are masked by Pallas
+  automatically, tail gradient contributions are masked explicitly.
 """
 
 from __future__ import annotations
@@ -38,8 +45,9 @@ _MAX_TILE_ELEMS = 1280 * 1024  # per-buffer cap (n * WT * C floats) ~ 5 MB
 
 
 def _window_tile(n: int, c: int, w: int) -> int:
-    """Window-tile size: fits the VMEM budget AND balances the tiles so the
-    padded tail is minimal (an unbalanced split wastes up to ~40% compute)."""
+    """Backward grid window-tile size: fits the g-block VMEM budget AND
+    balances the tiles so the padded tail is minimal (an unbalanced split
+    wastes up to ~40% compute)."""
     wt_max = max(16, _MAX_TILE_ELEMS // max(n * c, 1))
     n_tiles = -(-w // wt_max)
     wt = -(-w // n_tiles)
@@ -47,115 +55,133 @@ def _window_tile(n: int, c: int, w: int) -> int:
 
 
 _L_CHUNK = 8    # sublane modulus: number of shifted copies
-_TAPS = 8       # taps unrolled per fori iteration. Any tap is reachable from
-# the 8 copies (x8[li % 8] at aligned offset 8*(li//8)); 16 taps/iteration
-# measured WORSE (fwd 72.8 vs 69.3 ms, fwd+bwd 156 vs 152 — register
-# pressure beats the halved accumulator RMW), so 8 it is.
+_TAPS = 8       # taps/windows unrolled per fori iteration (any tap is
+# reachable from the 8 copies: x8[li % 8] at aligned offset 8*(li//8))
 
 
-def _fill_shifted(x_ref, x8_ref, start, t8):
-    """x8[k] = x[start + k : start + k + t8] for k in 0..7 — ONE unaligned
-    read per k, done once per program. Every subsequent window read hits x8 at
-    a sublane-ALIGNED offset; the per-k unaligned sublane loads in the inner
-    loop measured ~24% of forward kernel time (BENCH_NOTES r2)."""
-    for k in range(_L_CHUNK):
-        x8_ref[k] = x_ref[0, pl.ds(start + k, t8), :]
+def _fwd_ws(c: int) -> int:
+    """Forward register window-subtile: n * (WS/8) * ceil(C/128) accumulator
+    vregs must fit the register file. 24 measured best at C<=128 (16: 39.1,
+    24: 37.3, 32: 38.0, 48: 39.1, 64: 41.5 ms for the 6-bank CHISCO fwd);
+    wide-C datasets (e.g. PEMS-SF C=963) shrink the subtile instead of
+    spilling 8x the vregs."""
+    return 24 if c <= 128 else 8
 
 
-def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, acc_ref, *, stride: int):
-    # x_ref: (1, T_pad, C); s_ref: (n, L, C); out_ref: (1, n, WT, C)
-    # x8_ref: VMEM scratch (8, T8, C) of sublane-shifted x copies
-    # acc_ref: VMEM scratch (n, WT, C) — accumulating into a scratch ref with
-    # per-chunk register partials measured ~25% faster than carrying the big
-    # accumulator through fori_loop (the carry spills/reloads every iteration).
+def _bwd_ls(c: int) -> int:
+    """Backward register l-subtile (32 measured best at C<=128: 8: 19.8,
+    16: 13.8, 32: 13.7 ms on the L=254 bank)."""
+    return 32 if c <= 128 else 8
+
+
+def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
+    # x_ref: (1, T_pad, C) @ (i, 0, 0) — same block for every j, fetched once
+    # per batch row; s_ref: (n, L, C); out_ref: (1, n, WS, C) @ (i, 0, j, 0).
+    # x8_ref: persistent VMEM scratch (8, T8, C) of sublane-shifted x copies,
+    # filled once per batch row (j == 0; the TPU grid runs j innermost) — one
+    # unaligned pass so every inner-loop window read is sublane-ALIGNED.
     n, l, c = s_ref.shape
-    wt = out_ref.shape[2]
-    w0 = pl.program_id(1) * wt
-    ck = _TAPS
+    ws = out_ref.shape[2]
+    j = pl.program_id(1)
     t8 = x8_ref.shape[1]
-    _fill_shifted(x_ref, x8_ref, w0 * stride, t8)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    ck = _TAPS
 
-    span = (wt - 1) * stride + 1
+    if stride == 1:
+        @pl.when(j == 0)
+        def _():
+            for k in range(_L_CHUNK):
+                x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
 
-    def chunk_body(ci, _):
+    ws0 = j * ws
+
+    def chunk_body(ci, accs):
         base = ci * ck
-        sch = s_ref[:, pl.ds(base, ck), :]                # (n, ck, C)
-        part = jnp.zeros((n, wt, c), jnp.float32)
+        sch = s_ref[:, pl.ds(base, ck), :]                 # (n, ck, C)
         for k in range(ck):
-            # tap base+k == x8[k % 8] at aligned offset base + 8*(k//8)
-            xs = x8_ref[k % _L_CHUNK,
-                        pl.ds(base + (k // _L_CHUNK) * _L_CHUNK, span), :]
-            if stride > 1:
-                xs = xs[::stride, :]
-            part = part + jnp.abs(xs[None, :, :] - sch[:, k: k + 1, :])
-        acc_ref[:] += part
-        return 0
+            if stride == 1:
+                xs = x8_ref[k, pl.ds(ws0 + base, ws), :]   # aligned
+            else:  # interpret-only (compiled path is stride-1, see _l1_fwd)
+                span = (ws - 1) * stride + 1
+                xs = x_ref[0, pl.ds(ws0 * stride + base + k, span), :][::stride]
+            accs = tuple(a + jnp.abs(xs - sch[ni, k])
+                         for ni, a in enumerate(accs))
+        return accs
 
+    accs = tuple(jnp.zeros((ws, c), jnp.float32) for _ in range(n))
     if l >= ck:
-        jax.lax.fori_loop(0, l // ck, chunk_body, 0)
-    # static tail (L % chunk iterations)
-    tail = jnp.zeros((n, wt, c), jnp.float32)
+        accs = jax.lax.fori_loop(0, l // ck, chunk_body, accs)
+    # static tail (L % chunk taps)
     base0 = l - l % ck
     for li in range(base0, l):
         k = li - base0
-        xs = x8_ref[k % _L_CHUNK,
-                    pl.ds(base0 + (k // _L_CHUNK) * _L_CHUNK, span), :]
-        if stride > 1:
-            xs = xs[::stride, :]
-        tail = tail + jnp.abs(xs[None, :, :] - s_ref[:, li: li + 1, :])
-    if l % ck:
-        acc_ref[:] += tail
-    out_ref[0] = acc_ref[:] * (1.0 / l)
+        if stride == 1:
+            xs = x8_ref[k, pl.ds(ws0 + base0, ws), :]
+        else:
+            span = (ws - 1) * stride + 1
+            xs = x_ref[0, pl.ds(ws0 * stride + li, span), :][::stride]
+        accs = tuple(a + jnp.abs(xs - s_ref[ni, li])
+                     for ni, a in enumerate(accs))
+    out_ref[0] = jnp.stack(accs) * (1.0 / l)
 
 
 def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
                 stride: int, w_total: int):
-    # x_ref: (1, T_pad, C); s_ref: (n, L, C); g_ref: (1, n, WT, C)
-    # out_ref: (n, L, C) — shared accumulator across the whole grid
-    # x8_ref: VMEM scratch (8, T8, C) of stride-shifted x copies so every
-    # per-window read of (L, C) is sublane-aligned (see _fill_shifted).
-    n, l, c = s_ref.shape
+    # x_ref: (1, T_pad, C); s_ref: (n, L_pad, C); g_ref: (1, n, WT, C);
+    # out_ref: (n, L_pad, C) — constant index map, so the block stays
+    # VMEM-resident across the whole sequential grid and every program adds
+    # into it. x8_ref: VMEM scratch (8, T8, C) of shifted x copies so every
+    # per-window read of an (LS, C) l-subtile is sublane-aligned.
+    # The 1/L normalization is folded into g host-side (_l1_bwd_rule).
+    n, l_pad, c = s_ref.shape
     wt = g_ref.shape[2]
+    ls = min(_bwd_ls(c), l_pad)
     b = pl.program_id(0)
     j = pl.program_id(1)
     w0 = j * wt
-    s = s_ref[:]
     t8 = x8_ref.shape[1]
-    # x8[k] starts at x[(w0 + k)*stride]: window w0+wbase+k reads
-    # x8[k, wbase*stride : +l] with wbase*stride a multiple of 8 for stride 1.
-    for k in range(_L_CHUNK):
-        x8_ref[k] = x_ref[0, pl.ds((w0 + k) * stride, t8), :]
+    ck = _TAPS
+
+    if stride == 1:
+        # x8[k] starts at x[w0 + k]: window w0+wb+k at tap l0+i reads
+        # x8[k, l0 + wb : +ls] — aligned (l0, wb multiples of 8).
+        for k in range(_L_CHUNK):
+            x8_ref[k] = x_ref[0, pl.ds(w0 + k, t8), :]
 
     @pl.when((b == 0) & (j == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ck = _TAPS
-    inv_l = 1.0 / l
+    def sub_body(li, _):
+        l0 = li * ls
+        # loop-invariant over windows: live-in register values
+        s_tile = [s_ref[ni, pl.ds(l0, ls), :] for ni in range(n)]
 
-    def chunk_body(ci, _):
-        wbase = ci * ck
-        gch = g_ref[0, :, pl.ds(wbase, ck), :]            # (n, ck, C)
-        part = jnp.zeros((n, l, c), jnp.float32)
-        for k in range(ck):
-            # window w0+wbase+k == x8[k % 8] at offset (wbase + 8*(k//8))*s
-            xs = x8_ref[k % _L_CHUNK,
-                        pl.ds((wbase + (k // _L_CHUNK) * _L_CHUNK) * stride,
-                              l), :]                      # aligned (stride 1)
-            gw = gch[:, k: k + 1, :]
-            gw = jnp.where(w0 + wbase + k < w_total, gw, 0.0)
-            # d|s-x|/ds * g == select(s > x, g, -g); exact ties contribute g
-            # instead of sign's 0 — measure-zero for continuous data, and the
-            # reference's own two autograd paths already disagree there.
-            # (copysign(g, s-x) is WRONG — it drops g's own sign — and
-            # measured slower anyway: 180.6 vs 151.8 ms fwd+bwd.)
-            part = part + jnp.where(s > xs[None, :, :], gw, -gw)
-        out_ref[:] += part * inv_l   # grid-shared accumulator (see docstring)
+        def chunk_body(wi, accs):
+            wb = wi * ck
+            gch = g_ref[0, :, pl.ds(wb, ck), :]            # (n, ck, C)
+            for k in range(ck):
+                # d|s-x|/ds * g == select(s > x, g, -g); exact ties give g
+                # instead of sign's 0 — measure-zero for continuous data, and
+                # the reference's own two autograd paths already disagree
+                # there. (copysign(g, s-x) is WRONG — it drops g's own sign —
+                # and measured slower anyway.)
+                gk = jnp.where(w0 + wb + k < w_total, gch[:, k], 0.0)
+                if stride == 1:
+                    xs = x8_ref[k, pl.ds(l0 + wb, ls), :]  # aligned
+                else:  # interpret-only (compiled path is stride-1)
+                    xs = x_ref[0, pl.ds((w0 + wb + k) * stride + l0, ls), :]
+                accs = tuple(
+                    a + jnp.where(s_tile[ni] > xs, gk[ni], -gk[ni])
+                    for ni, a in enumerate(accs))
+            return accs
+
+        accs = tuple(jnp.zeros((ls, c), jnp.float32) for _ in range(n))
+        # wt is a multiple of _TAPS (see _window_tile: rounded to 8)
+        accs = jax.lax.fori_loop(0, wt // ck, chunk_body, accs)
+        out_ref[:, pl.ds(l0, ls), :] += jnp.stack(accs)
         return 0
 
-    # wt is a multiple of _L_CHUNK (see _window_tile: rounded to 8)
-    jax.lax.fori_loop(0, wt // ck, chunk_body, 0)
+    jax.lax.fori_loop(0, l_pad // ls, sub_body, 0)
 
 
 def _interpret_default() -> bool:
@@ -188,27 +214,27 @@ def _l1_fwd(x, s, stride, interpret):
     b, c, t = x.shape
     n, _, l = s.shape
     w = (t - l) // stride + 1
-    wt = _window_tile(n, c, w)
-    nwt = -(-w // wt)
-    xt = _padded_x(x, wt, stride, l)
+    ws = _fwd_ws(c)
+    nws = -(-w // ws)
+    t8 = nws * ws + l + _L_CHUNK
+    t_pad = max(t8 + _L_CHUNK, nws * ws * stride + l + 2 * _L_CHUNK)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, t_pad - t), (0, 0)))
     st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (n, L, C)
-    t_pad = xt.shape[1]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, stride=stride),
         out_shape=jax.ShapeDtypeStruct((b, n, w, c), jnp.float32),
-        grid=(b, nwt),
+        grid=(b, nws),
         in_specs=[
             pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, n, ws, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, l + (wt - 1) * stride + 1 + 3 * _L_CHUNK, c),
-                       jnp.float32),
-            pltpu.VMEM((n, wt, c), jnp.float32),
+            pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=3 * b * n * c * w * l,
@@ -232,39 +258,43 @@ def _l1_bwd_rule(stride, interpret, res, g):
     b, c, t = x.shape
     n, _, l = s.shape
     w = g.shape[-1]
+    ls = min(_bwd_ls(c), -(-l // _L_CHUNK) * _L_CHUNK)
+    l_pad = -(-l // ls) * ls
     wt = _window_tile(n, c, w)
     nwt = -(-w // wt)
-    xt = _padded_x(x, wt, stride, l)
-    st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (n, L, C)
-    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3)       # (B, n, W, C)
+    xt = _padded_x(x, wt, stride, l_pad)
+    st = jnp.pad(jnp.swapaxes(s.astype(jnp.float32), 1, 2),
+                 ((0, 0), (0, l_pad - l), (0, 0)))       # (n, L_pad, C)
+    # 1/L folded into g here (XLA fuses it into the transpose pass)
+    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3) * (1.0 / l)  # (B, n, W, C)
     t_pad = xt.shape[1]
+    t8 = wt * stride + l_pad + _L_CHUNK
     grad_st = pl.pallas_call(
         functools.partial(_bwd_kernel, stride=stride, w_total=w),
-        out_shape=jax.ShapeDtypeStruct((n, l, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
         grid=(b, nwt),
         in_specs=[
             pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, (wt - _L_CHUNK) * stride + l + 3 * _L_CHUNK,
-                        c), jnp.float32),
+            pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * w * l,
-            bytes_accessed=4 * (b * t * c + n * l * c + b * n * w * c),
+            bytes_accessed=4 * (b * t * c + n * l_pad * c + b * n * w * c),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt, st, gt)
-    grad_s = jnp.swapaxes(grad_st, 1, 2).astype(s.dtype)
+    grad_s = jnp.swapaxes(grad_st[:, :l, :], 1, 2).astype(s.dtype)
     return jnp.zeros_like(x), grad_s
 
 

@@ -18,6 +18,7 @@ Key mappings:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -125,9 +126,12 @@ class Trainer:
     # ---- state ----------------------------------------------------------
     def init_state(self, sample_batch, seed: int) -> TrainState:
         x, _y, mask, _w = sample_batch
-        variables = self.model.init(
+        # jit the init: eager flax init dispatches the whole forward op-by-op
+        # (the 6 scan-based shapelet banks alone cost ~20 s on CPU)
+        init_fn = jax.jit(functools.partial(self.model.init, train=False))
+        variables = init_fn(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
-            jnp.asarray(x), jnp.asarray(mask), train=False)
+            jnp.asarray(x), jnp.asarray(mask))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
