@@ -2,13 +2,16 @@
 """Kernel experiment lab — forward-variant A/B measurements on the chip.
 
 Usage: python scripts/kernel_lab.py <variant> [bank_index|-1=all6] [iters]
-Variants:
+Forward variants (timed fwd-only, correctness vs the scan reference):
   v1       library kernel (baseline)
-  v4       pre-shifted x copies: x8[k] = x shifted by k sublanes, so every
-           in-kernel window read is sublane-ALIGNED (hypothesis: the per-k
-           unaligned reads cost ~2x on the VPU load path)
-  v4bwd    v4-style backward (pre-shifted, aligned reads), fwd+bwd timing
-  v1bwd    library fwd+bwd baseline
+  v4       pre-shifted aligned x copies, round-1 (n, WT, C) part-chain
+  v5       v4 + dual partial accumulators in the k-chain
+  v6       register-tiled window subtiles (V6_WS env knob)
+Backward variants (timed bwd-only with a fixed dense upstream gradient,
+correctness vs the scan VJP — expect a small relerr from exact-f32-tie
+semantics, identical between v1bwd and v6bwd):
+  v1bwd    library backward
+  v6bwd    register-tiled l-subtiles (V6_LS env knob)
 One variant per process (relay executable accumulation).
 """
 
@@ -213,8 +216,6 @@ def _bwd_kernel_v6(x_ref, s_ref, g_ref, out_ref, x8_ref, *, w_total: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    inv_l = 1.0  # normalization folded into g host-side
-
     def sub_body(li, _):
         l0 = li * ls
         s_tile = [s_ref[ni, pl.ds(l0, ls), :] for ni in range(n)]  # live-ins
@@ -233,7 +234,7 @@ def _bwd_kernel_v6(x_ref, s_ref, g_ref, out_ref, x8_ref, *, w_total: int):
         accs = tuple(jnp.zeros((ls, c), jnp.float32) for _ in range(n))
         accs = jax.lax.fori_loop(0, wt // CK, chunk_body, accs)
         cur = out_ref[:, pl.ds(l0, ls), :]
-        out_ref[:, pl.ds(l0, ls), :] = cur + jnp.stack(accs) * inv_l
+        out_ref[:, pl.ds(l0, ls), :] = cur + jnp.stack(accs)
         return 0
 
     jax.lax.fori_loop(0, l_pad // ls, sub_body, 0)

@@ -59,19 +59,36 @@ _TAPS = 8       # taps/windows unrolled per fori iteration (any tap is
 # reachable from the 8 copies: x8[li % 8] at aligned offset 8*(li//8))
 
 
-def _fwd_ws(c: int) -> int:
+def _fwd_ws(n: int, c: int) -> int:
     """Forward register window-subtile: n * (WS/8) * ceil(C/128) accumulator
-    vregs must fit the register file. 24 measured best at C<=128 (16: 39.1,
-    24: 37.3, 32: 38.0, 48: 39.1, 64: 41.5 ms for the 6-bank CHISCO fwd);
-    wide-C datasets (e.g. PEMS-SF C=963) shrink the subtile instead of
-    spilling 8x the vregs."""
-    return 24 if c <= 128 else 8
+    vregs must fit the register file, so the subtile shrinks with both the
+    shapelet count and the lane-tile count (PEMS-SF C=963 or num_shapelet=32
+    would otherwise spill 3-8x the vregs). ~30 acc vregs measured best at the
+    CHISCO config n=10, C=122 -> WS=24 (16: 39.1, 24: 37.3, 32: 38.0,
+    48: 39.1, 64: 41.5 ms for the 6-bank fwd)."""
+    lanes = -(-max(c, 1) // 128)
+    ws = 8 * max(1, 30 // max(n * lanes, 1))
+    return max(8, min(ws, 48))
 
 
-def _bwd_ls(c: int) -> int:
-    """Backward register l-subtile (32 measured best at C<=128: 8: 19.8,
-    16: 13.8, 32: 13.7 ms on the L=254 bank)."""
-    return 32 if c <= 128 else 8
+def _bwd_ls_max(n: int, c: int) -> int:
+    """Backward register l-subtile cap (same budget logic; ~40 acc vregs
+    measured best at n=10, C=122 -> LS=32: 8: 19.8, 16: 13.8, 32: 13.7,
+    64: 14.8 ms on the L=254 bank)."""
+    lanes = -(-max(c, 1) // 128)
+    ls = 8 * max(1, 40 // max(n * lanes, 1))
+    return max(8, min(ls, 48))
+
+
+def _bwd_l_split(n: int, c: int, l: int) -> tuple[int, int]:
+    """(ls, l_pad) for the backward l-subtile loop: BALANCED like
+    _window_tile, so L just above a subtile multiple doesn't waste up to
+    ~50% of the bank's backward on zero-padded taps (L=43 with a fixed
+    ls=32 would pad to 64: 33% garbage; balanced -> ls=24, l_pad=48)."""
+    l8 = -(-l // _L_CHUNK) * _L_CHUNK
+    n_sub = -(-l8 // _bwd_ls_max(n, c))
+    ls = _L_CHUNK * (-(-l8 // (_L_CHUNK * n_sub)))
+    return ls, n_sub * ls
 
 
 def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
@@ -125,7 +142,7 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
 
 
 def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
-                stride: int, w_total: int):
+                stride: int, w_total: int, ls: int):
     # x_ref: (1, T_pad, C); s_ref: (n, L_pad, C); g_ref: (1, n, WT, C);
     # out_ref: (n, L_pad, C) — constant index map, so the block stays
     # VMEM-resident across the whole sequential grid and every program adds
@@ -134,7 +151,6 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
     # The 1/L normalization is folded into g host-side (_l1_bwd_rule).
     n, l_pad, c = s_ref.shape
     wt = g_ref.shape[2]
-    ls = min(_bwd_ls(c), l_pad)
     b = pl.program_id(0)
     j = pl.program_id(1)
     w0 = j * wt
@@ -214,7 +230,7 @@ def _l1_fwd(x, s, stride, interpret):
     b, c, t = x.shape
     n, _, l = s.shape
     w = (t - l) // stride + 1
-    ws = _fwd_ws(c)
+    ws = _fwd_ws(n, c)
     nws = -(-w // ws)
     t8 = nws * ws + l + _L_CHUNK
     t_pad = max(t8 + _L_CHUNK, nws * ws * stride + l + 2 * _L_CHUNK)
@@ -258,8 +274,7 @@ def _l1_bwd_rule(stride, interpret, res, g):
     b, c, t = x.shape
     n, _, l = s.shape
     w = g.shape[-1]
-    ls = min(_bwd_ls(c), -(-l // _L_CHUNK) * _L_CHUNK)
-    l_pad = -(-l // ls) * ls
+    ls, l_pad = _bwd_l_split(n, c, l)
     wt = _window_tile(n, c, w)
     nwt = -(-w // wt)
     xt = _padded_x(x, wt, stride, l_pad)
@@ -270,7 +285,7 @@ def _l1_bwd_rule(stride, interpret, res, g):
     t_pad = xt.shape[1]
     t8 = wt * stride + l_pad + _L_CHUNK
     grad_st = pl.pallas_call(
-        functools.partial(_bwd_kernel, stride=stride, w_total=w),
+        functools.partial(_bwd_kernel, stride=stride, w_total=w, ls=ls),
         out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
         grid=(b, nwt),
         in_specs=[
