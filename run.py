@@ -116,7 +116,11 @@ def get_args(argv=None):
     p.add_argument("--seasonal_patterns", type=str, default="Monthly",
                    help="M4 subset (reference run.py:134)")
     p.add_argument("--inverse", action="store_true", default=False,
-                   help="inverse-transform forecast outputs (run.py:135)")
+                   help="inverse-transform forecast outputs (run.py:135). "
+                   "Flag-parity only: like the reference, the forecast "
+                   "experiment is not reachable from this CLI (task_name is "
+                   "classification/regression); the provider-level "
+                   "ForecastDataset.inverse_transform is the API surface")
     # ===== TPU-specific =====
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
@@ -157,6 +161,10 @@ def args_to_config(args, seed: int) -> Config:
 
 def main(argv=None):
     args = get_args(argv)
+    if args.inverse:
+        print("[warn] --inverse has no effect from this CLI (forecast "
+              "experiment unreachable, as in the reference); use "
+              "ForecastDataset.inverse_transform via the provider API")
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
@@ -191,6 +199,11 @@ def main(argv=None):
                       f"{jax.process_count()} takes folds {fold_slice}")
             fold_results = run_loso(cfg, mesh=mesh, fold_slice=fold_slice)
             accs = [r["accuracy"] for r in fold_results]
+            if not accs:
+                # more hosts than folds: this host's slice is empty — don't
+                # let np.mean([]) poison the cross-seed summary with NaN
+                print("LOSO: no folds assigned to this host")
+                continue
             import numpy as np
             print(f"LOSO ({len(accs)} folds): accuracy "
                   f"{np.mean(accs):.2f} +/- {np.std(accs):.2f}")

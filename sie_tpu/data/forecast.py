@@ -103,33 +103,101 @@ def load_forecast_csv(path: str, flag: str = "train", size=(96, 48, 96),
 @dataclass
 class M4Dataset:
     """Minimal M4 per-series dataset (reference data_factory/m4.py): each item
-    is (insample window, outsample horizon) sampled from one series."""
+    is (insample window padded/cropped to seq_len, outsample horizon)."""
 
-    series: list                    # list of 1-D np arrays
+    insample: list                  # per-series history (1-D np arrays)
+    outsample: list                 # per-series target horizon (1-D np arrays)
     seq_len: int
     pred_len: int
 
     def __len__(self):
-        return len(self.series)
+        return len(self.insample)
 
     def __getitem__(self, i: int):
-        s = self.series[i]
+        src = self.insample[i]
         insample = np.zeros((self.seq_len,), np.float32)
-        cut = s[: max(len(s) - self.pred_len, 1)]
-        take = min(len(cut), self.seq_len)
-        insample[-take:] = cut[-take:]
+        take = min(len(src), self.seq_len)
+        insample[-take:] = src[-take:]
         outsample = np.zeros((self.pred_len,), np.float32)
-        tail = s[-self.pred_len:]
+        tail = self.outsample[i][: self.pred_len]
         outsample[: len(tail)] = tail
         return insample, outsample
 
 
-def load_m4_csv(path: str, seq_len: int, pred_len: int) -> M4Dataset:
-    """Reads an M4-format CSV (first column id, rest the series values)."""
+def read_m4_rows(path: str, dtype=np.float32) -> list:
+    """M4-format CSV rows (first column id, rest the ragged values) as
+    (id, values) pairs — the one row parser shared by the window loaders here
+    and the cache builder (sie_tpu/data/m4.py:build_m4_cache)."""
     df = pd.read_csv(path)
-    series = []
+    out = []
     for _i, row in df.iterrows():
-        vals = row.iloc[1:].dropna().to_numpy(dtype=np.float32)
+        vals = row.iloc[1:].dropna().to_numpy(dtype=dtype)
         if len(vals):
-            series.append(vals)
-    return M4Dataset(series, seq_len, pred_len)
+            out.append((str(row.iloc[0]), vals))
+    return out
+
+
+def _holdout_split(series: list, seq_len: int, pred_len: int) -> M4Dataset:
+    """Train/val pairs entirely within the training series: the final horizon
+    of each series is the target, everything before it the history."""
+    ins = [s[: max(len(s) - pred_len, 1)] for s in series]
+    outs = [s[max(len(s) - pred_len, 1):] for s in series]
+    return M4Dataset(ins, outs, seq_len, pred_len)
+
+
+def load_m4_csv(path: str, seq_len: int, pred_len: int) -> M4Dataset:
+    """Single-CSV convenience loader: holdout-split training pairs."""
+    series = [v for _id, v in read_m4_rows(path)]
+    return M4Dataset([s[: max(len(s) - pred_len, 1)] for s in series],
+                     [s[max(len(s) - pred_len, 1):] for s in series],
+                     seq_len, pred_len)
+
+
+def load_m4(root: str, name: str, seq_len: int, pred_len: int,
+            flag: str) -> M4Dataset:
+    """Flag-routed M4 loader (reference Dataset_M4 semantics: flag picks the
+    training vs test cache, data_factory/data_loader.py Dataset_M4 +
+    m4.py M4Dataset.load). Sources, in order:
+
+    1. npz cache layout (`M4-info.csv` + training.npz/test.npz, built by
+       sie_tpu.data.m4.build_m4_cache) filtered to the seasonal pattern;
+    2. `{name}-train.csv` / `{name}-test.csv` pairs (the public M4 layout);
+    3. single `{name}.csv` — train/val only (holdout split); test REFUSES
+       so a missing test set can never silently score training targets.
+
+    Test pairs: insample = tail of the full training series, outsample = the
+    held-out test horizon."""
+    import os
+    from sie_tpu.data.m4 import M4Dataset as M4Cache
+
+    want_test = flag == "test"
+    if (os.path.exists(os.path.join(root, "M4-info.csv"))
+            and os.path.exists(os.path.join(root, "training.npz"))):
+        tr = M4Cache.load(training=True, dataset_file=root)
+        keep = np.asarray(tr.groups) == name
+        train_series = [np.asarray(v, np.float32) for v in tr.values[keep]]
+        if want_test:
+            te = M4Cache.load(training=False, dataset_file=root)
+            test_series = [np.asarray(v, np.float32) for v in te.values[keep]]
+            return M4Dataset(train_series, test_series, seq_len, pred_len)
+        return _holdout_split(train_series, seq_len, pred_len)
+
+    pair = os.path.join(root, f"{name}-train.csv")
+    if os.path.exists(pair):
+        train_series = [v for _id, v in read_m4_rows(pair)]
+        if want_test:
+            tpath = os.path.join(root, f"{name}-test.csv")
+            if not os.path.exists(tpath):
+                raise FileNotFoundError(
+                    f"{tpath} not found — the M4 test split needs the "
+                    "held-out horizons (or the npz cache)")
+            test_series = [v for _id, v in read_m4_rows(tpath)]
+            return M4Dataset(train_series, test_series, seq_len, pred_len)
+        return _holdout_split(train_series, seq_len, pred_len)
+
+    single = os.path.join(root, f"{name}.csv")
+    if want_test:
+        raise FileNotFoundError(
+            f"no M4 test source under {root!r} (need {name}-test.csv or the "
+            "npz cache); refusing to evaluate on training targets")
+    return load_m4_csv(single, seq_len, pred_len)

@@ -65,21 +65,20 @@ def build_m4_cache(csv_by_group: dict, out_dir: str) -> None:
     (data_factory/m4.py:44-70) — this container has no egress.
     """
     import pandas as pd
+    from sie_tpu.data.forecast import read_m4_rows
     ids, groups, freqs, hors = [], [], [], []
     train_vals, test_vals = [], []
     meta = M4Meta()
     for group, (train_csv, test_csv) in csv_by_group.items():
-        tr = pd.read_csv(train_csv)
-        te = pd.read_csv(test_csv)
-        for (_, row_tr), (_, row_te) in zip(tr.iterrows(), te.iterrows()):
-            ids.append(str(row_tr.iloc[0]))
+        for (tid, tr_vals), (_id, te_vals) in zip(
+                read_m4_rows(train_csv, np.float64),
+                read_m4_rows(test_csv, np.float64)):
+            ids.append(tid)
             groups.append(group)
             freqs.append(meta.frequency_map[group])
             hors.append(meta.horizons_map[group])
-            train_vals.append(
-                row_tr.iloc[1:].dropna().to_numpy(dtype=np.float64))
-            test_vals.append(
-                row_te.iloc[1:].dropna().to_numpy(dtype=np.float64))
+            train_vals.append(tr_vals)
+            test_vals.append(te_vals)
     os.makedirs(out_dir, exist_ok=True)
     pd.DataFrame({"M4id": ids, "SP": groups, "Frequency": freqs,
                   "Horizon": hors}).to_csv(

@@ -56,14 +56,15 @@ def _forecast(kind: str):
 
 
 def _m4(cfg: Config, flag: str, **_):
-    from sie_tpu.data.forecast import load_m4_csv
+    from sie_tpu.data.forecast import load_m4
     from sie_tpu.data.m4 import M4Meta
     # --seasonal_patterns picks the M4 subset (reference run.py:134); its
-    # horizon overrides pred_len like the reference's M4Meta lookup.
+    # horizon overrides pred_len like the reference's M4Meta lookup. The flag
+    # routes train (holdout within the training series) vs test (held-out
+    # horizons from the -test.csv / npz cache) — reference Dataset_M4.
     name = cfg.seasonal_patterns
     pred = M4Meta.horizons_map.get(name, cfg.pred_len)
-    path = os.path.join(cfg.data_root, f"{name}.csv")
-    return load_m4_csv(path, cfg.seq_len, pred)
+    return load_m4(cfg.data_root, name, cfg.seq_len, pred, flag)
 
 
 def _anomaly(name: str):

@@ -17,15 +17,20 @@ from sie_tpu.models.layers import Encoder, sinusoidal_embedding
 
 class _EncoderChunk(nn.Module):
     """Scan body: applies the shared encoder to one chunk of channel rows.
-    (carry is unused; nn.scan requires the (carry, x) -> (carry, y) shape.)"""
+    (carry is unused; nn.scan requires the (carry, x) -> (carry, y) shape.)
+    use_remat=False gives the identical param tree without recompute — used
+    for the single-chunk path where memory never was the problem."""
 
     config: Config
     train: bool
+    use_remat: bool = True
 
     @nn.compact
     def __call__(self, carry, x):
         cfg = self.config
-        enc = nn.remat(Encoder, static_argnums=(2,))(
+        enc_cls = (nn.remat(Encoder, static_argnums=(2,)) if self.use_remat
+                   else Encoder)
+        enc = enc_cls(
             cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
             cfg.dropout, cfg.activation, dtype=cfg.compute_dtype,
             use_flash=cfg.use_flash_attention, name="encoder")
@@ -76,15 +81,20 @@ class PatchTST(nn.Module):
         # checkpoint tree is chunk-count independent.
         rows = b * c
         n_chunks = max(1, -(-rows // _CHUNK_ROWS))
-        chunk = -(-rows // n_chunks)
-        pad_rows = n_chunks * chunk - rows
-        hp = jnp.pad(h, ((0, pad_rows), (0, 0), (0, 0)))
-        hp = hp.reshape(n_chunks, chunk, patch_num, cfg.d_model)
-        scan = nn.scan(_EncoderChunk, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True},
-                       in_axes=0, out_axes=0)
-        _, hs = scan(cfg, train, name="enc_scan")(None, hp)
-        h = hs.reshape(n_chunks * chunk, patch_num, cfg.d_model)[:rows]
+        if n_chunks == 1:
+            # small enough for one pass: same param tree, no remat recompute
+            _, h = _EncoderChunk(cfg, train, use_remat=False,
+                                 name="enc_scan")(None, h)
+        else:
+            chunk = -(-rows // n_chunks)
+            pad_rows = n_chunks * chunk - rows
+            hp = jnp.pad(h, ((0, pad_rows), (0, 0), (0, 0)))
+            hp = hp.reshape(n_chunks, chunk, patch_num, cfg.d_model)
+            scan = nn.scan(_EncoderChunk, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0)
+            _, hs = scan(cfg, train, name="enc_scan")(None, hp)
+            h = hs.reshape(n_chunks * chunk, patch_num, cfg.d_model)[:rows]
 
         h = h.reshape(b, c * patch_num * cfg.d_model)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)

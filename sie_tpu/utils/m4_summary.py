@@ -123,5 +123,9 @@ class M4Summary:
             weighted["Others"] = others_score
             out["Others"] = others_score / others_count
             total += others_count
+        if not total:
+            raise FileNotFoundError(
+                "no per-group forecasts found to summarize — check that "
+                "'{group}_forecast.csv' files exist in the forecast dir")
         out["Average"] = float(np.sum(list(weighted.values())) / total)
         return out

@@ -196,3 +196,61 @@ def test_m4_summary_owa_one_for_naive2(tmp_path):
         assert abs(v - 1.0) < 1e-9, (k, v)
     assert set(smape) == {"Yearly", "Quarterly", "Monthly", "Others", "Average"}
     assert all(np.isfinite(list(mase_.values())))
+
+
+def test_m4_flag_routing(tmp_path):
+    """The m4 provider entry must route train vs test: train pairs come from a
+    holdout within the training series, test pairs from the held-out horizons
+    — never the same windows for both (train==test leakage)."""
+    import pandas as pd
+    from sie_tpu.data.forecast import load_m4
+    rng = np.random.default_rng(3)
+    n, h = 4, 6
+    tr_rows = {"V1": [f"M{i}" for i in range(n)]}
+    te_rows = {"V1": [f"M{i}" for i in range(n)]}
+    for j in range(50):
+        tr_rows[f"c{j}"] = rng.normal(size=n)
+    for j in range(h):
+        te_rows[f"c{j}"] = rng.normal(size=n)
+    pd.DataFrame(tr_rows).to_csv(tmp_path / "Monthly-train.csv", index=False)
+    pd.DataFrame(te_rows).to_csv(tmp_path / "Monthly-test.csv", index=False)
+
+    tr = load_m4(str(tmp_path), "Monthly", 30, h, "train")
+    te = load_m4(str(tmp_path), "Monthly", 30, h, "test")
+    ins_tr, out_tr = tr[0]
+    ins_te, out_te = te[0]
+    # test outsample is the held-out horizon, train outsample is within train
+    assert not np.allclose(out_tr, out_te)
+    # test insample sees the full training series (train holds the tail out)
+    assert not np.allclose(ins_tr, ins_te)
+
+
+def test_m4_test_refuses_single_csv(tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+    from sie_tpu.data.forecast import load_m4
+    rows = {"V1": ["M0"], **{f"c{j}": [float(j)] for j in range(20)}}
+    pd.DataFrame(rows).to_csv(tmp_path / "Monthly.csv", index=False)
+    assert len(load_m4(str(tmp_path), "Monthly", 10, 4, "train")) == 1
+    with _pytest.raises(FileNotFoundError):
+        load_m4(str(tmp_path), "Monthly", 10, 4, "test")
+
+
+def test_load_m4_routes_npz_cache(tmp_path):
+    """load_m4 prefers the npz cache layout, filtered by seasonal pattern,
+    with test outsample = the held-out test horizons."""
+    from sie_tpu.data.m4 import build_m4_cache
+    from sie_tpu.data.forecast import load_m4
+    csvs = {"Yearly": _write_m4_group_csvs(tmp_path, "Yearly", 4, 20, 6, 0),
+            "Hourly": _write_m4_group_csvs(tmp_path, "Hourly", 3, 60, 48, 1)}
+    cache = tmp_path / "m4cache"
+    build_m4_cache(csvs, str(cache))
+    tr = load_m4(str(cache), "Yearly", 12, 6, "train")
+    te = load_m4(str(cache), "Yearly", 12, 6, "test")
+    assert len(tr) == 4 and len(te) == 4
+    ins_te, out_te = te[0]
+    # test outsample equals the test csv horizon for that series
+    expected = pd.read_csv(csvs["Yearly"][1]).iloc[0, 1:7].to_numpy(np.float32)
+    np.testing.assert_allclose(out_te, expected, rtol=1e-6)
+    _, out_tr = tr[0]
+    assert not np.allclose(out_tr, out_te)
