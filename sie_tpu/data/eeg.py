@@ -150,18 +150,31 @@ def process_trials(raw: np.ndarray, text_labels: Sequence[str],
     raw, y, subjects = raw[keep], y[keep], subjects[keep]
 
     # batched, jitted preprocessing (host CPU backend — see
-    # preprocess_trials_host for why the raw trials stay off the accelerator)
+    # preprocess_trials_host for why the raw trials stay off the accelerator).
+    # normalize=False: QA must see the scaled microvolt data, as in the
+    # reference (validate_eeg_data runs before EEGDataset's per-sample
+    # z-score, eeg_processor.py:402-426 + eeg.py:352-367) — on z-scored data
+    # the 1e5 outlier bounds could never trigger.
     out = []
     for i in range(0, len(raw), batch):
         out.append(np.asarray(preprocess_trials_host(
-            raw[i:i + batch], cfg.target_channels, target_t)))
+            raw[i:i + batch], cfg.target_channels, target_t,
+            normalize=False)))
     x = np.concatenate(out, axis=0) if out else np.zeros(
         (0, cfg.target_channels, target_t), np.float32)
 
-    # QA on the scaled (pre-normalization) data — rerun the scale-only pipeline
-    # stats cheaply on the host (reference validate_eeg_data parity).
     ok = validate_trials(x)
-    return x[ok], y[ok], subjects[ok]
+    x, y, subjects = x[ok], y[ok], subjects[ok]
+
+    # per-channel ddof-1 z-score of the survivors (same math as the
+    # pipeline's normalize step); constant (e.g. zero-padded) channels map to
+    # zero instead of NaN — documented deviation from the reference's
+    # eps-free pandas division, which NaNs there.
+    tt = x.shape[-1]
+    mean = x.mean(axis=-1, keepdims=True)
+    sd = np.sqrt(x.var(axis=-1, keepdims=True) * (tt / max(tt - 1, 1)))
+    x = np.where(sd > 0, (x - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+    return x.astype(np.float32), y, subjects
 
 
 def split_indices(n: int, test_size: float, val_size: float,
@@ -205,7 +218,8 @@ def load_eeg_dataset(cfg: Config, flag: str, three_class: bool = True,
     key = (cfg.data_root, cfg.json_path, three_class, cfg.max_files,
            tuple(cfg.subject_ids), cfg.subject_id, cfg.max_subjects,
            cfg.target_channels, cfg.target_timepoints,
-           cfg.task_type, bool(synthetic))
+           cfg.original_fs, cfg.target_fs,
+           cfg.task_type, synthetic)  # None (auto) vs False (require real)
     if key not in _PROCESS_CACHE:
         _PROCESS_CACHE[key] = _load_processed(cfg, three_class, synthetic)
     x, y, subjects = _PROCESS_CACHE[key]
@@ -233,6 +247,8 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
                             cfg.max_subjects, cfg.max_files,
                             three_class, cfg.target_channels,
                             cfg.target_timepoints,
+                            cfg.original_fs, cfg.target_fs, cfg.json_path,
+                            synthetic,
                             cfg.task_type)).encode()).hexdigest()[:12]
     cache = os.path.join(cfg.cache_dir, f"eeg_processed_{tag}.npz")
     if os.path.exists(cache):
@@ -252,10 +268,17 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
         subject_ids = resolve_subjects(cfg)
         raws, labels, subjects = read_fif_trials(
             cfg.data_root, subject_ids, cfg.max_files, cfg.task_type)
+        if not raws:
+            raise FileNotFoundError(
+                f"no {cfg.task_type!r} .fif trials found under "
+                f"{cfg.data_root!r} for subjects {list(subject_ids)}")
+        # trials may differ in montage/length across subjects: stack into the
+        # max box (channel crop/pad to target_channels happens downstream)
         t_max = max(r.shape[1] for r in raws)
-        raw = np.zeros((len(raws), raws[0].shape[0], t_max))
+        c_max = max(r.shape[0] for r in raws)
+        raw = np.zeros((len(raws), c_max, t_max))
         for i, r in enumerate(raws):
-            raw[i, :, : r.shape[1]] = r
+            raw[i, : r.shape[0], : r.shape[1]] = r
         text_maps = load_text_maps(cfg.json_path)
 
     x, y, subjects = process_trials(np.asarray(raw), labels, subjects,

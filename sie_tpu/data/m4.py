@@ -70,9 +70,14 @@ def build_m4_cache(csv_by_group: dict, out_dir: str) -> None:
     train_vals, test_vals = [], []
     meta = M4Meta()
     for group, (train_csv, test_csv) in csv_by_group.items():
-        for (tid, tr_vals), (_id, te_vals) in zip(
-                read_m4_rows(train_csv, np.float64),
-                read_m4_rows(test_csv, np.float64)):
+        # pair train/test rows BY ID, not positionally — read_m4_rows drops
+        # empty rows, and one dropped row would shift every later pair
+        te_by_id = dict(read_m4_rows(test_csv, np.float64))
+        for tid, tr_vals in read_m4_rows(train_csv, np.float64):
+            te_vals = te_by_id.get(tid)
+            if te_vals is None:
+                raise ValueError(f"series {tid!r} present in {train_csv} "
+                                 f"but missing/empty in {test_csv}")
             ids.append(tid)
             groups.append(group)
             freqs.append(meta.frequency_map[group])

@@ -156,12 +156,13 @@ def to_dense(ts: TsFile, apply_subsample_on_ragged_dims: bool = True):
 
     n = len(series)
     c = ts.n_dims
-    max_len = int(lengths[:, 0].max()) if n else 0
+    # size the buffer and per-sample lengths over ALL dims — a sample whose
+    # later dim is longer than dim 0 must not overflow (or be mismasked)
+    max_len = int(lengths.max()) if n and lengths.size else 0
     x = np.zeros((n, max_len, c), np.float32)
     sample_len = np.zeros((n,), np.int32)
     for i, s in enumerate(series):
-        li = len(s[0]) if s else 0
-        sample_len[i] = li
+        sample_len[i] = max((len(d) for d in s), default=0)
         for d, vals in enumerate(s):
             vals = interpolate_missing(vals)
             x[i, : len(vals), d] = vals

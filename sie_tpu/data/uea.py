@@ -59,7 +59,14 @@ def load_uea_dataset(root_path: str, dataset: str, flag: str,
     ts = parse_ts_file(_find_ts(root_path, dataset, split))
     x, lengths, max_len = to_dense(ts)
 
-    classes = tuple(sorted(set(ts.labels)))
+    # label ids from the @classLabel declaration (sorted, so the mapping
+    # equals the reference's pd.Categorical codes whenever every class is
+    # present) — deriving them from the labels PRESENT in each file, as the
+    # reference does, silently permutes test ids when a class is missing
+    # from one split
+    declared = getattr(ts, "class_labels", None)
+    classes = (tuple(sorted(declared)) if declared
+               else tuple(sorted(set(ts.labels))))
     cls_index = {c: i for i, c in enumerate(classes)}
     y = np.array([cls_index[l] for l in ts.labels], np.int32)
 

@@ -34,12 +34,14 @@ from sie_tpu.utils.shapelet_util import extract_shapelets
 from sie_tpu.utils.tools import EarlyStopping, gini_coefficient
 
 
+def subsample_factor(seq_len: int, max_length: int = 1000) -> int:
+    return math.ceil(seq_len / max_length) if seq_len >= max_length else 1
+
+
 def subsample_batch(x: np.ndarray, max_length: int = 1000) -> np.ndarray:
     """(reference exp/experiment_regression.py:32-37)"""
-    if x.shape[1] >= max_length:
-        factor = math.ceil(x.shape[1] / max_length)
-        return x[:, ::factor, :]
-    return x
+    factor = subsample_factor(x.shape[1], max_length)
+    return x[:, ::factor, :] if factor > 1 else x
 
 
 def make_crps_head(bin_edges: np.ndarray, truncate_targets: bool = False):
@@ -87,8 +89,12 @@ class RegressionExperiment:
 
     def _batch(self, batch):
         x, y, mask, w = batch
-        x = subsample_batch(x)
-        return x, y, mask[:, : x.shape[1]], w
+        factor = subsample_factor(x.shape[1])
+        if factor > 1:
+            # stride the mask with the same factor — truncating it would mark
+            # tail padding of shorter-than-max samples as real timesteps
+            x, mask = x[:, ::factor, :], mask[:, ::factor]
+        return x, y, mask, w
 
     def _init_state(self):
         sample = self._batch(next(iter(self.train_loader.epoch(0))))

@@ -54,8 +54,14 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     if cfg.lr_decay:
+        # under MultiSteps the inner adam's count advances once per
+        # accumulation group, so convert the micro-batch steps_per_epoch to
+        # optimizer steps — otherwise the anneal runs k times too slowly
+        accum = max(cfg.gradient_accumulation_steps, 1)
+        opt_steps_per_epoch = max(-(-steps_per_epoch // accum), 1)
+
         def schedule(step):
-            epoch = step // max(steps_per_epoch, 1)
+            epoch = step // opt_steps_per_epoch
             return cfg.lr * 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.train_epochs))
     else:
         schedule = cfg.lr
@@ -190,8 +196,6 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self, gating_value=None):
-        loss_fn = self.loss_fn
-
         def step(state: TrainState, batch):
             x, y, mask, w = batch
             variables = {"params": state.params}

@@ -232,3 +232,69 @@ def test_resolve_subjects(tmp_path):
     cfg = Config(data_root=str(tmp_path), subject_ids=(), subject_id="",
                  max_subjects=0)  # 0 = no cap
     assert len(resolve_subjects(cfg)) == 9
+
+
+def test_eeg_qa_runs_before_normalization():
+    """The outlier QA must see microvolt data (reference order: validate, then
+    per-sample z-score) — on z-scored data the 1e5 bounds can never fire."""
+    from sie_tpu.config import Config
+    from sie_tpu.data.eeg import process_trials
+    rng = np.random.default_rng(0)
+    cfg = Config(target_channels=4, target_timepoints=50,
+                 original_fs=500, target_fs=500)
+    raw = rng.normal(0, 1e-5, size=(3, 4, 50))      # plausible volts
+    raw[1] += 10.0                                  # 1e7 microvolts: outlier
+    maps = {"w0": 9, "w1": 13}
+    x, y, subj = process_trials(raw, ["w0", "w1", "w0"],
+                                np.zeros(3, np.int32), maps, True, cfg)
+    assert len(x) == 2                              # outlier trial dropped
+    assert np.isfinite(x).all()
+    # survivors are z-scored per channel
+    np.testing.assert_allclose(x.mean(axis=-1), 0.0, atol=1e-4)
+
+
+def test_eeg_padded_channels_no_nan():
+    """Zero-padded channels (C_raw < target) must yield zeros, not NaN, and
+    must not drop the trial."""
+    from sie_tpu.config import Config
+    from sie_tpu.data.eeg import process_trials
+    rng = np.random.default_rng(1)
+    cfg = Config(target_channels=6, target_timepoints=40,
+                 original_fs=500, target_fs=500)
+    raw = rng.normal(0, 1e-5, size=(2, 3, 40))      # 3 raw channels -> pad to 6
+    maps = {"w": 17}
+    x, _, _ = process_trials(raw, ["w", "w"], np.zeros(2, np.int32),
+                             maps, True, cfg)
+    assert len(x) == 2 and np.isfinite(x).all()
+    np.testing.assert_array_equal(x[:, 3:, :], 0.0)
+
+
+def test_uea_declared_class_labels_pin_mapping(tmp_path):
+    """A split missing one declared class must keep the declared mapping
+    (per-file present-label mapping would silently permute test ids)."""
+    from sie_tpu.data.uea import load_uea_dataset
+    d = tmp_path / "Toy3"
+    d.mkdir()
+    head = ("@problemName Toy3\n@timeStamps false\n@univariate true\n"
+            "@classLabel true a b c\n@data\n")
+    (d / "Toy3_TRAIN.ts").write_text(
+        head + "1,2,3:a\n4,5,6:b\n7,8,9:c\n")
+    (d / "Toy3_TEST.ts").write_text(
+        head + "1,1,1:a\n9,9,9:c\n")                  # class b absent
+    tr = load_uea_dataset(str(tmp_path), "Toy3", "train")
+    te = load_uea_dataset(str(tmp_path), "Toy3", "test")
+    assert tr.class_names == te.class_names == ("a", "b", "c")
+    assert list(te.y) == [0, 2]                       # c stays id 2, not 1
+
+
+def test_ts_dense_ragged_dims_sized_by_all_dims(tmp_path):
+    """A sample whose later dim is longer than dim 0 must not overflow the
+    dense buffer, and its mask length is the max over dims."""
+    from sie_tpu.data.ts_parser import parse_ts_file, to_dense
+    p = tmp_path / "rag.ts"
+    p.write_text("@problemName rag\n@classLabel true x y\n@data\n"
+                 "1,2:3,4,5,6:x\n7,8,9:1,2:y\n")
+    ts = parse_ts_file(str(p))
+    x, lengths, max_len = to_dense(ts, apply_subsample_on_ragged_dims=False)
+    assert x.shape == (2, 4, 2) and max_len == 4
+    assert list(lengths) == [4, 3]

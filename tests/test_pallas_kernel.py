@@ -105,3 +105,25 @@ def test_pallas_balanced_l_split(rng):
     g2 = jax.grad(lambda sv: jnp.sum(jnp.sin(_l1_distance(x, sv, 1))))(s)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_random_shape_sweep(rng):
+    """Seeded randomized shape sweep: fwd + VJP vs the scan reference across
+    odd C / L / T / n combinations (guards the index/padding arithmetic of
+    the register-tiled kernels)."""
+    shapes = [(1, 1, 17, 3), (2, 5, 21, 9), (2, 3, 41, 25), (1, 4, 19, 16)]
+    for b, n, t, l in shapes:
+        c = int(rng.integers(1, 7))
+        x = jnp.asarray(rng.normal(size=(b, c, t)).astype(np.float32))
+        s = jnp.asarray(rng.normal(size=(n, c, l)).astype(np.float32))
+        got = l1_sliding_distance(x, s, 1, True)
+        want = _l1_distance(x, s, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"fwd {(b, n, c, t, l)}")
+        g1 = jax.grad(lambda sv: jnp.sum(jnp.cos(
+            l1_sliding_distance(x, sv, 1, True))))(s)
+        g2 = jax.grad(lambda sv: jnp.sum(jnp.cos(_l1_distance(x, sv, 1))))(s)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"bwd {(b, n, c, t, l)}")

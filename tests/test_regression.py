@@ -69,3 +69,20 @@ def test_regression_experiment_dnn(monash_root, tmp_path):
     exp.train()
     loss, _, df = exp.test(save_csv=False)
     assert np.isfinite(loss)
+
+
+def test_subsample_strides_mask_not_truncates():
+    """The padding mask must be strided with the same factor as x — truncation
+    would mark tail padding of shorter samples as real timesteps."""
+    from sie_tpu.train.regression import RegressionExperiment
+    b, t, c = 2, 2000, 3
+    x = np.ones((b, t, c), np.float32)
+    mask = np.zeros((b, t), np.float32)
+    mask[0, :1200] = 1.0          # sample 0: real length 1200
+    mask[1, :] = 1.0
+    y = np.zeros((b,), np.float32)
+    w = np.ones((b,), np.float32)
+    xs, _, ms, _ = RegressionExperiment._batch(None, (x, y, mask, w))
+    assert xs.shape[1] == 1000 and ms.shape[1] == 1000
+    assert ms[0].sum() == 600     # 1200 real steps / factor 2
+    assert ms[1].sum() == 1000
