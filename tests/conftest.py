@@ -6,14 +6,24 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # the suite is compile-dominated; level 0 cuts CPU compiles ~38% with all
+    # tolerances green (runtime of the tiny test programs barely moves)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 # The container's sitecustomize registers the axon TPU plugin and force-sets
 # jax_platforms="axon,cpu", overriding the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: repeat suite runs skip recompilation (the suite is
+# compile-dominated). First run is unchanged; the cache lives outside the repo.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sie_tpu_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

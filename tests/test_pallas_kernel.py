@@ -111,7 +111,7 @@ def test_pallas_random_shape_sweep(rng):
     """Seeded randomized shape sweep: fwd + VJP vs the scan reference across
     odd C / L / T / n combinations (guards the index/padding arithmetic of
     the register-tiled kernels)."""
-    shapes = [(1, 1, 17, 3), (2, 5, 21, 9), (2, 3, 41, 25), (1, 4, 19, 16)]
+    shapes = [(1, 1, 17, 3), (2, 5, 21, 9), (2, 3, 41, 25)]
     for b, n, t, l in shapes:
         c = int(rng.integers(1, 7))
         x = jnp.asarray(rng.normal(size=(b, c, t)).astype(np.float32))
