@@ -182,9 +182,8 @@ def main(argv=None):
 
         if args.loso and args.data in ("EEG", "EEG3"):
             from sie_tpu.parallel.loso import run_loso
-            from sie_tpu.parallel.multihost import (host_fold_slice,
-                                                    init_distributed)
-            fold_slice = slice(None)
+            from sie_tpu.parallel.multihost import (init_distributed,
+                                                    run_loso_multihost)
             if init_distributed():
                 import jax
                 # per-host fold parallelism over DCN: disjoint contiguous
@@ -194,10 +193,11 @@ def main(argv=None):
                                          three_class=(cfg.data == "EEG3"))
                 n_subj = (int(probe.subject_ids.max()) + 1
                           if probe.subject_ids is not None else 1)
-                fold_slice = host_fold_slice(n_subj)
+                fold_results, sl = run_loso_multihost(cfg, n_subj, mesh=mesh)
                 print(f"[multihost] process {jax.process_index()}/"
-                      f"{jax.process_count()} takes folds {fold_slice}")
-            fold_results = run_loso(cfg, mesh=mesh, fold_slice=fold_slice)
+                      f"{jax.process_count()} took folds {sl}")
+            else:
+                fold_results = run_loso(cfg, mesh=mesh)
             accs = [r["accuracy"] for r in fold_results]
             if not accs:
                 # more hosts than folds: this host's slice is empty — don't
@@ -205,10 +205,12 @@ def main(argv=None):
                 print("LOSO: no folds assigned to this host")
                 continue
             import numpy as np
+            num_class = 3 if cfg.data == "EEG3" else 39
             print(f"LOSO ({len(accs)} folds): accuracy "
-                  f"{np.mean(accs):.2f} +/- {np.std(accs):.2f}")
+                  f"{np.mean(accs):.2f} +/- {np.std(accs):.2f} "
+                  f"(random baseline {100.0 / num_class:.2f})")
             all_results.append((seed, None, {"accuracy": float(np.mean(accs)),
-                                             "random_baseline": 100.0 / 3,
+                                             "random_baseline": 100.0 / num_class,
                                              "per_fold": fold_results}))
             continue
 

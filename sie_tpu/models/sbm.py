@@ -60,8 +60,10 @@ def _mesh_aware_distance(xn: jax.Array, bank: jax.Array, stride: int,
         if data_ax or model_ax:
             try:
                 from jax import shard_map
-            except ImportError:  # older jax
+                no_check = {"check_vma": False}
+            except ImportError:  # older jax: experimental API, check_rep kwarg
                 from jax.experimental.shard_map import shard_map
+                no_check = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
             fn = lambda xs, bs: sliding_distance(xs, bs, stride, metric,
                                                  use_pallas=use_pallas)
@@ -69,7 +71,7 @@ def _mesh_aware_distance(xn: jax.Array, bank: jax.Array, stride: int,
                 fn, mesh=mesh,
                 in_specs=(P(data_ax, None, None), P(model_ax, None, None)),
                 out_specs=P(data_ax, model_ax, None, None),
-                check_vma=False)(xn, bank)
+                **no_check)(xn, bank)
     return sliding_distance(xn, bank, stride, metric, use_pallas=use_pallas)
 
 
@@ -108,8 +110,15 @@ class PredicateAttention(nn.Module):
         xe = x[..., None].astype(self.dtype)                      # (B, F, 1)
         pos = self.param("pos_embed", nn.initializers.normal(1.0),
                          (self.dim_feature, self.dim_attn))
-        q = nn.Dense(self.dim_attn, dtype=self.dtype, name="q_proj")(xe) + pos
-        k = nn.Dense(self.dim_attn, dtype=self.dtype, name="k_proj")(xe) + pos
+        # torch nn.Linear(1, dim_attn) parity: fan_in=1 -> kernel AND bias
+        # ~ U(-1, 1) (flax defaults would give lecun kernel + zero bias,
+        # materially different initial scores for near-zero predicates)
+        lin1 = dict(kernel_init=torch_linear_init(1),
+                    bias_init=torch_linear_init(1))
+        q = nn.Dense(self.dim_attn, dtype=self.dtype, name="q_proj",
+                     **lin1)(xe) + pos
+        k = nn.Dense(self.dim_attn, dtype=self.dtype, name="k_proj",
+                     **lin1)(xe) + pos
         xv = x.astype(self.dtype)
         scale = 1.0 / math.sqrt(self.dim_attn)
 
@@ -201,10 +210,14 @@ class ShapeBottleneckModel(nn.Module):
         if cfg.sbm_cls == "linear":
             out = self.output_layer(self.drop(pc, deterministic=not train))
         elif cfg.sbm_cls == "bilinear":
-            pd = self.drop(pc, deterministic=not train)
-            lin = self.output_layer(pd)
-            bil = jnp.einsum("bi,kij,bj->bk", pd, self.output_bilinear.astype(cfg.compute_dtype), pd,
-                             preferred_element_type=jnp.float32)
+            # three INDEPENDENT dropout masks, like the reference's three
+            # dropout(p) calls (Shapelet.py:204) — reusing one mask would
+            # correlate the bilinear arguments (p_i^2 terms survive)
+            drop = lambda: self.drop(pc, deterministic=not train)
+            lin = self.output_layer(drop())
+            bil = jnp.einsum("bi,kij,bj->bk", drop(),
+                             self.output_bilinear.astype(cfg.compute_dtype),
+                             drop(), preferred_element_type=jnp.float32)
             out = lin + bil
         elif cfg.sbm_cls == "attention":
             att = self.attention(pc)

@@ -169,9 +169,13 @@ class TimesNet(nn.Module):
         h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
                           dtype=dt, name="enc_embedding")(x.astype(dt), None,
                                                           train=train)
+        # ONE LayerNorm shared across all blocks — the reference creates a
+        # single self.layer_norm applied after every TimesBlock
+        # (model/TimesNet.py:88,192), not one per layer
+        norm = nn.LayerNorm(name="layer_norm")
         for i in range(cfg.e_layers):
             h = TimesBlock(cfg, name=f"block_{i}")(h, train=train)
-            h = nn.LayerNorm(name=f"norm_{i}")(h)
+            h = norm(h)
         h = jax.nn.gelu(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
         if padding_mask is not None:

@@ -219,6 +219,10 @@ def _l1_polyphase(x: jax.Array, s: jax.Array, k: int, stride1_fn) -> jax.Array:
     for r in range(k):
         s_r = s[:, :, r::k]
         l_r = s_r.shape[2]
+        if l_r == 0:
+            # k > L leaves later phases empty; an empty-kernel call would
+            # divide by zero (inf * 0 = NaN) — the phase contributes nothing
+            continue
         x_r = x[:, :, r::k][:, :, : w + l_r - 1]
         d_r = stride1_fn(x_r, s_r, 1) * float(l_r)
         total = d_r if total is None else total + d_r

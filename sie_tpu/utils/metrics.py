@@ -23,6 +23,11 @@ def RSE(pred, true):
 
 
 def CORR(pred, true):
+    # Reproduced TSlib quirk (reference utils/metrics.py): the denominator is
+    # sqrt(sum(t_c^2 * p_c^2)), NOT the product of norms sqrt(sum t^2 * sum
+    # p^2), so this is not Pearson correlation and can exceed 1. Kept
+    # verbatim for comparability with TSlib-published numbers (README
+    # "Reference parity notes").
     u = ((true - true.mean(0)) * (pred - pred.mean(0))).sum(0)
     d = np.sqrt(((true - true.mean(0)) ** 2 * (pred - pred.mean(0)) ** 2).sum(0))
     return (u / d).mean(-1)
