@@ -57,10 +57,15 @@ def bench_ours() -> float:
     # boundary per step (the production input path on a single chip)
     dev = trainer.device_data("bench", ds)
     w = np.ones((BATCH,), np.float32)
-    idxs = [rng.integers(0, n, BATCH).astype(np.int32) for _ in range(ITERS)]
+    steps = [(rng.integers(0, n, BATCH).astype(np.int32), w)
+             for _ in range(ITERS)]
+    # the production epoch-staged input path: schedule uploaded once, one
+    # host int scalar per step (3 buffer uploads/step cost ~7 ms through
+    # the relay — docs/BENCH_NOTES.md)
+    staged = trainer.stage_steps(steps, 1.0)
     print("[bench] state initialized; compiling train step...", file=sys.stderr)
     for _ in range(WARMUP):
-        state, loss, _ = trainer.train_step_indexed(state, dev, idxs[0], w, 1.0)
+        state, loss, _ = trainer.train_step_staged(state, dev, staged, 0)
     float(jax.device_get(loss))  # full sync (block_until_ready alone does not
     # guarantee execution completion through the axon relay backend)
     print("[bench] warmup done; timing...", file=sys.stderr)
@@ -68,8 +73,7 @@ def bench_ours() -> float:
     for _rep in range(3):  # median of 3 chains: relay timing wobbles ~±15%
         t0 = time.perf_counter()
         for i in range(ITERS):
-            state, loss, _ = trainer.train_step_indexed(state, dev, idxs[i],
-                                                        w, 1.0)
+            state, loss, _ = trainer.train_step_staged(state, dev, staged, i)
         float(jax.device_get(loss))  # chain-dependent final fetch = wall time
         reps.append((time.perf_counter() - t0) / ITERS)
     dt = float(np.median(reps))
@@ -166,12 +170,13 @@ def bench_eegcnn() -> float:
     dev = trainer.device_data("bench_eegcnn", ds)
     w = np.ones((BATCH,), np.float32)
     idx = np.arange(BATCH, dtype=np.int32)
+    staged = trainer.stage_steps([(idx, w)] * ITERS, 1.0)
     for _ in range(WARMUP):
-        state, loss, _ = trainer.train_step_indexed(state, dev, idx, w, 1.0)
+        state, loss, _ = trainer.train_step_staged(state, dev, staged, 0)
     float(jax.device_get(loss))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, loss, _ = trainer.train_step_indexed(state, dev, idx, w, 1.0)
+    for i in range(ITERS):
+        state, loss, _ = trainer.train_step_staged(state, dev, staged, i)
     float(jax.device_get(loss))
     return BATCH / ((time.perf_counter() - t0) / ITERS)
 

@@ -108,9 +108,14 @@ class Experiment:
             beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
             losses = []
             if dev_train is not None:
-                for idx, w in self.train_loader.epoch_indices(epoch):
-                    self.state, loss, _logits = self.trainer.train_step_indexed(
-                        self.state, dev_train, idx, w, beta)
+                # stage the epoch's whole (idx, w) schedule + beta up front:
+                # per-step host->device traffic is then ONE int scalar
+                # (3 buffer uploads/step measured ~7 ms through the relay)
+                steps = list(self.train_loader.epoch_indices(epoch))
+                staged = self.trainer.stage_steps(steps, beta)
+                for k in range(len(steps)):
+                    self.state, loss, _logits = self.trainer.train_step_staged(
+                        self.state, dev_train, staged, k)
                     losses.append(loss)
             else:
                 for batch in self.train_loader.epoch(epoch):
@@ -182,13 +187,15 @@ class Experiment:
             tag = tags.get(id(loader))
             if tag is not None:
                 dev = self.trainer.device_data(tag, loader.ds)
-        for bi, batch_idx in enumerate(loader.epoch_indices(0)):
+        steps = list(loader.epoch_indices(0))
+        staged = self.trainer.stage_steps(steps) if dev is not None else None
+        for bi, batch_idx in enumerate(steps):
             idx, w = batch_idx
             x = loader.ds.x[idx]
             y = loader.ds.y[idx]
             if dev is not None:
-                logits, info = self.trainer.eval_step_indexed(
-                    self.state, dev, idx, gating_value=gating_value)
+                logits, info = self.trainer.eval_step_staged(
+                    self.state, dev, staged, bi, gating_value=gating_value)
             else:
                 batch = (x, y, loader.ds.padding_mask[idx], w)
                 logits, info = self.trainer.eval_step(

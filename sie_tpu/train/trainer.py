@@ -127,6 +127,8 @@ class Trainer:
         self._eval_steps = {}
         self._train_step_idx = None
         self._eval_steps_idx = {}
+        self._train_step_staged = None
+        self._eval_steps_staged = {}
         self._dev_data = {}
 
     # ---- state ----------------------------------------------------------
@@ -232,6 +234,52 @@ class Trainer:
             return self._train_step_idx(state, dev_data, jnp.asarray(idx),
                                         jnp.asarray(w),
                                         jnp.asarray(beta, jnp.float32))
+
+    # ---- epoch-staged steps ----------------------------------------------
+    # Through the axon relay each host->device buffer upload costs ~2 ms of
+    # latency; the indexed path pays it 3x per step (idx, w, beta) — measured
+    # 9.4 -> 2.2 ms/step for a tiny model when the whole epoch's schedule is
+    # staged in HBM up front and each step passes only a host int. On a real
+    # TPU VM the upload latency is far smaller, but one scalar per step is
+    # strictly cheaper everywhere.
+
+    def stage_steps(self, steps, beta=0.0):
+        """Upload an epoch's (idx, w) schedule + beta in three transfers.
+        steps: list of (idx (B,), w (B,)) pairs from Batcher.epoch_indices."""
+        idx_all = np.stack([i for i, _ in steps]).astype(np.int32)
+        w_all = np.stack([w for _, w in steps]).astype(np.float32)
+        return (jax.device_put(idx_all), jax.device_put(w_all),
+                jax.device_put(np.float32(beta)))
+
+    def train_step_staged(self, state: TrainState, dev_data, staged, k: int):
+        if self._train_step_staged is None:
+            def step(state: TrainState, data, ia, wa, beta, k):
+                idx = ia[k]
+                x, y, mask = (leaf[idx] for leaf in data)
+                return self._update(state, (x, y, mask, wa[k]), beta)
+
+            self._train_step_staged = jax.jit(step, donate_argnums=(0,))
+        ia, wa, beta = staged
+        with mesh_context(self.mesh):
+            return self._train_step_staged(state, dev_data, ia, wa, beta, k)
+
+    def eval_step_staged(self, state: TrainState, dev_data, staged, k: int,
+                         gating_value=None):
+        if gating_value not in self._eval_steps_staged:
+            def step(state: TrainState, data, ia, k):
+                idx = ia[k]
+                x, y, mask = (leaf[idx] for leaf in data)
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                logits, info = state.apply_fn(variables, x, mask, train=False,
+                                              gating_value=gating_value)
+                return logits, info
+
+            self._eval_steps_staged[gating_value] = jax.jit(step)
+        ia = staged[0]
+        with mesh_context(self.mesh):
+            return self._eval_steps_staged[gating_value](state, dev_data, ia, k)
 
     def eval_step_indexed(self, state: TrainState, dev_data, idx,
                           gating_value=None):
