@@ -61,3 +61,6 @@ def test_cli_end_to_end_synthetic_uea(tmp_path):
     found_pkl = any("test_results.pkl" in f for _, _, fs in
                     os.walk(tmp_path / "ckpt") for f in fs)
     assert found_pkl
+    found_csv = any(f.endswith(".csv") for _, _, fs in
+                    os.walk(tmp_path / "result") for f in fs)
+    assert found_csv

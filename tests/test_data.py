@@ -4,11 +4,10 @@ import numpy as np
 import pytest
 
 from sie_tpu.data.loader import ArrayDataset, Batcher, standardize
-from sie_tpu.data.synthetic import (write_synthetic_monash, write_synthetic_uea,
-                                    synthetic_eeg_trials, synthetic_textmaps)
+from sie_tpu.data.synthetic import write_synthetic_monash, write_synthetic_uea
 from sie_tpu.data.ts_parser import parse_ts_file, to_dense
 from sie_tpu.data.uea import load_uea_dataset
-from sie_tpu.data.monash import load_monash_dataset, make_bin_edges
+from sie_tpu.data.monash import load_monash_dataset
 
 
 def test_ts_parser_roundtrip(tmp_path):
@@ -78,9 +77,11 @@ def test_batcher_fixed_shapes():
     assert sorted(seen) == list(range(n))  # every sample exactly once
     assert total_w == n
     # shuffling differs across epochs, stable within an epoch
+    e0 = [y.tolist() for _, y, _, _ in batches]
     e1 = [y.tolist() for _, y, _, _ in batcher.epoch(1)]
     e1b = [y.tolist() for _, y, _, _ in batcher.epoch(1)]
     assert e1 == e1b
+    assert e0 != e1  # epoch number must enter the shuffle RNG
 
 
 def test_standardize_uses_real_timesteps():
@@ -107,9 +108,13 @@ def test_eeg_synthetic_pipeline(tmp_path):
     assert train.x.shape[1:] == (target_t, 16)
     assert train.num_class == 3
     assert set(np.concatenate([train.y, val.y, test.y])) <= {0, 1, 2}
-    # disjoint split covering everything
+    # disjoint split covering everything: every trial appears in exactly one
+    # split (row content is unique random data, so bytes-dedup detects both
+    # duplication across splits and dropped trials)
     n = len(train) + len(val) + len(test)
     assert len(val) >= 1 and len(test) >= 1
+    rows = {xs.tobytes() for split in (train, val, test) for xs in split.x}
+    assert len(rows) == n
     # per-channel z-scored
     s = train.x[0].std(axis=0)
     assert np.all(np.abs(s - 1.0) < 0.2)

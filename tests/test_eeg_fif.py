@@ -21,7 +21,10 @@ class FakeEpochs:
 
     def __init__(self, path: str, n_epochs=4, n_channels=5, n_times=50,
                  words=None):
-        self._seed = abs(hash(path)) % (2 ** 31)
+        # stable digest: str hash() is salted per process (PYTHONHASHSEED),
+        # which would make the fake trial data irreproducible across runs
+        import zlib
+        self._seed = zlib.crc32(str(path).encode()) % (2 ** 31)
         self.n_epochs = n_epochs
         self.n_channels = n_channels
         self.n_times = n_times

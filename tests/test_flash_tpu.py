@@ -1,7 +1,9 @@
 """Flash-attention path vs naive attention — runs only on a real TPU backend
 (the CPU test suite always exercises the naive fallback). Run manually:
 
-    JAX_PLATFORMS='' python -m pytest tests/test_flash_tpu.py --no-header -q
+    SIE_TPU_TEST_TPU=1 python -m pytest tests/test_flash_tpu.py --no-header -q
+
+(conftest.py forces the CPU backend unless SIE_TPU_TEST_TPU=1 is set.)
 """
 
 import numpy as np

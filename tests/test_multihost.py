@@ -63,15 +63,32 @@ def test_two_process_loso_disjoint(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=repo, cache=str(tmp_path / "cache"),
                                      out=str(tmp_path)))
-    env_base = {**os.environ, "SIE_TPU_COORDINATOR": "localhost:29731",
+    # free-port allocation: a hardcoded port collides across concurrent runs
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env_base = {**os.environ, "SIE_TPU_COORDINATOR": f"localhost:{port}",
                 "SIE_TPU_NUM_PROCESSES": "2", "JAX_PLATFORMS": "cpu"}
     env_base.pop("XLA_FLAGS", None)
+    # output to files, not PIPEs: a worker blocked on a full pipe while the
+    # other waits at a collective would deadlock the whole test
+    logs = [open(tmp_path / f"worker_{i}.log", "wb") for i in range(2)]
     procs = [subprocess.Popen([sys.executable, str(script)],
                               env={**env_base, "SIE_TPU_PROCESS_ID": str(i)},
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                              stdout=logs[i], stderr=subprocess.STDOUT)
              for i in range(2)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for lg in logs:
+            lg.close()
+    for i, p in enumerate(procs):
+        out = (tmp_path / f"worker_{i}.log").read_bytes().decode()
         assert p.returncode == 0, out[-3000:]
     folds = []
     for i in range(2):

@@ -41,5 +41,7 @@ def test_resume_bitwise_equal(tmp_path):
     flat_a = jax.tree.leaves(params_a)
     flat_b = jax.tree.leaves(params_b)
     for a, b in zip(flat_a, flat_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+        # exact equality: on the deterministic CPU backend the interrupted and
+        # uninterrupted runs must be BIT-identical — a tolerance here would
+        # let a subtly-wrong optimizer-state restore pass
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

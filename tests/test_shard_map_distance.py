@@ -25,10 +25,11 @@ def test_shard_map_distance_matches_unsharded(rng, mesh):
         got = jax.jit(lambda a, b: _mesh_aware_distance(a, b, 1, "euclidean",
                                                         False))(x, s)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
-    # output really is sharded over (data, model)
-    spec = got.sharding.spec if hasattr(got.sharding, "spec") else None
-    if spec is not None:
-        assert spec[0] == "data" and spec[1] == "model"
+    # output really is sharded over (data, model) — no silent skip: if the
+    # sharding type ever loses .spec, fail loudly rather than not checking
+    assert hasattr(got.sharding, "spec"), type(got.sharding)
+    spec = got.sharding.spec
+    assert spec[0] == "data" and spec[1] == "model"
 
 
 def test_shard_map_distance_grad_matches(rng, mesh):
