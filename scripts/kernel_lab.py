@@ -191,6 +191,87 @@ def fwd_v6(x, s):
     return jnp.swapaxes(out, 2, 3)
 
 
+# -------------------------------------- v7: K window-subtiles per program
+# Short banks are grid-overhead dominated (bank0 L=43: 2176 programs of ~1 us
+# compute each). v7 keeps the v6 register tiling but amortizes per-program
+# cost over K subtiles (grid shrinks by K).
+
+V7_K = int(os.environ.get("V7_K", "8"))
+
+
+def _fwd_kernel_v7(x_ref, s_ref, out_ref, x8_ref):
+    n, l, c = s_ref.shape
+    kws = out_ref.shape[2]
+    ws = kws // V7_K
+    j = pl.program_id(1)
+    t8 = x8_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(CK):
+            x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
+
+    def sub_body(ki, _):
+        ws0 = j * kws + ki * ws
+
+        def chunk_body(ci, accs):
+            base = ci * CK
+            sch = s_ref[:, pl.ds(base, CK), :]
+            for k in range(CK):
+                xs = x8_ref[k, pl.ds(ws0 + base, ws), :]
+                accs = tuple(a + jnp.abs(xs - sch[ni, k])
+                             for ni, a in enumerate(accs))
+            return accs
+
+        accs = tuple(jnp.zeros((ws, c), jnp.float32) for _ in range(n))
+        if l <= int(os.environ.get("V7_UNROLL", "96")):
+            # static full-tap unroll: a 5-trip fori leaves pipeline bubbles
+            for ci in range(l // CK):
+                accs = chunk_body(ci, accs)
+        elif l >= CK:
+            accs = jax.lax.fori_loop(0, l // CK, chunk_body, accs)
+        tail0 = l - l % CK
+        for li in range(tail0, l):
+            k = li - tail0
+            xs = x8_ref[k, pl.ds(ws0 + tail0, ws), :]
+            accs = tuple(a + jnp.abs(xs - s_ref[ni, li])
+                         for ni, a in enumerate(accs))
+        out_ref[0, :, pl.ds(ki * ws, ws), :] = jnp.stack(accs) * (1.0 / l)
+        return 0
+
+    jax.lax.fori_loop(0, V7_K, sub_body, 0)
+
+
+def fwd_v7(x, s):
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = t - l + 1
+    ws = V6_WS
+    kws = ws * V7_K
+    nj = -(-w // kws)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    t8 = nj * kws + l + CK
+    xp = jnp.pad(xt, ((0, 0), (0, t8 + CK - t), (0, 0)))
+    st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)
+    out = pl.pallas_call(
+        _fwd_kernel_v7,
+        out_shape=jax.ShapeDtypeStruct((b, n, w, c), jnp.float32),
+        grid=(b, nj),
+        in_specs=[
+            pl.BlockSpec((1, t8 + CK, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, kws, c), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((CK, t8, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, st)
+    return jnp.swapaxes(out, 2, 3)
+
+
 # ----------------------------------------------- v6 backward: register-tiled
 # ds[n,l,c] = (1/L) sum_{b,w} select(s[n,l,c] > x[b,c,w+l], g, -g)[b,n,c,w]
 # Same register-tiling idea with (l <-> w) roles swapped: accumulators over an
@@ -369,7 +450,7 @@ def main():
     bs = banks(rng)
     sel = bs if bank_i < 0 else [bs[bank_i]]
 
-    if variant in ("v1", "v4", "v5", "v6"):
+    if variant in ("v1", "v4", "v5", "v6", "v7"):
         if variant == "v1":
             from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
             f = lambda x, s: l1_sliding_distance(x, s, 1)
@@ -377,6 +458,8 @@ def main():
             f = fwd_v5
         elif variant == "v6":
             f = fwd_v6
+        elif variant == "v7":
+            f = fwd_v7
         else:
             f = fwd_v4
 
