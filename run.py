@@ -233,13 +233,16 @@ def main(argv=None):
             if not experiment.load_checkpoint():
                 print("warning: no checkpoint found; testing a fresh model")
 
-        test_loss, test_metrics, test_df = experiment.test(
+        test_loss, test_metrics, test_result = experiment.test(
             save_csv=True, result_dir=os.path.join(args.result_dir, args.model))
         result_file = os.path.join(experiment.checkpoint_dir, "test_results.pkl")
         os.makedirs(experiment.checkpoint_dir, exist_ok=True)
         with open(result_file, "wb") as f:
+            # full per-seed result bundle (reference run.py:616-625): the
+            # ClassificationResult carries x/p/d/eta/shapelets/w, everything
+            # utils/shapelet_util.py visualization consumes
             pickle.dump({"test_loss": test_loss, "test_metrics": test_metrics,
-                         "args": vars(args)}, f)
+                         "result": test_result, "args": vars(args)}, f)
         print(f"results pickled to {result_file}")
 
         if test_metrics and "accuracy" in test_metrics:

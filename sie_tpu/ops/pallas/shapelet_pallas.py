@@ -250,7 +250,11 @@ def _l1_fwd(x, s, stride, interpret):
         out_specs=pl.BlockSpec((1, n, ws, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32),
+            # stride>1 (interpret-only) never touches the shifted-copy
+            # scratch: shrink it to a token allocation instead of 8x the
+            # series-row footprint per program (ADVICE r2)
+            pltpu.VMEM((_L_CHUNK, t8, c) if stride == 1 else (1, 1, 1),
+                       jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=3 * b * n * c * w * l,
@@ -299,7 +303,8 @@ def _l1_bwd_rule(stride, interpret, res, g):
         out_specs=pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32),
+            pltpu.VMEM((_L_CHUNK, t8, c) if stride == 1 else (1, 1, 1),
+                       jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * w * l,

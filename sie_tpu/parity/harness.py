@@ -1,0 +1,176 @@
+"""Convergence-parity harness: train the reference-faithful torch IGN
+(`sie_tpu.parity.torch_reference`) and the sie_tpu implementation on IDENTICAL
+data with IDENTICAL batch schedules, and compare converged test accuracy.
+
+This is the end-to-end analogue of BASELINE.md's ±0.5-pt CHISCO target that is
+actually checkable in this container (no CHISCO data / GPU here): op-level
+parity (tests/test_torch_parity.py) x training-semantics parity (this module)
+on class-separable synthetic sets. Both sides run f32 (amp off): the autocast
+policy is already covered by the op/step-level parity tests, and torch-CPU
+bf16 autocast does not reproduce GPU autocast behavior anyway.
+
+Seeds intentionally differ in effect between frameworks (torch and JAX PRNGs
+initialize different weights from the same integer), so the comparison is
+converged-accuracy over multiple seeds, not loss-curve equality.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sie_tpu.config import Config
+
+
+def make_parity_splits(kind: str = "eeg3", seed: int = 0,
+                       n_per_split: Tuple[int, int, int] = (192, 64, 64),
+                       ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Class-separable synthetic multivariate series, standardized like the
+    UEA whole-set Normalizer. kind='eeg3': 3 classes, C=12, T=120 (a scaled
+    CHISCO shape); kind='uea': 4 classes, C=6, T=100 (a BasicMotions shape)."""
+    if kind == "eeg3":
+        n_class, c, t = 3, 12, 120
+    elif kind == "uea":
+        n_class, c, t = 4, 6, 100
+    else:
+        raise ValueError(kind)
+    # str hash() is salted per-process; a fixed tag keeps the data reproducible
+    rng = np.random.default_rng((seed, {"eeg3": 3, "uea": 4}[kind]))
+    mix = rng.normal(0, 1, (n_class, 3, c))
+    freqs = rng.uniform(0.02, 0.3, (n_class, 3))
+    tt = np.arange(t)
+
+    def gen(n):
+        y = rng.integers(0, n_class, n)
+        x = np.zeros((n, t, c), np.float32)
+        for i in range(n):
+            k = y[i]
+            ph = rng.uniform(0, 2 * np.pi, 3)
+            src = np.sin(2 * np.pi * freqs[k][:, None] * tt[None] + ph[:, None])
+            x[i] = (mix[k].T @ src).T + rng.normal(0, 0.4, (t, c))
+        return x.astype(np.float32), y.astype(np.int64)
+
+    splits = {name: gen(n) for name, n in zip(("train", "val", "test"),
+                                              n_per_split)}
+    mu = splits["train"][0].mean(axis=(0, 1), keepdims=True)
+    sd = splits["train"][0].std(axis=(0, 1), keepdims=True) + 1e-8
+    return {k: (((x - mu) / sd).astype(np.float32), y)
+            for k, (x, y) in splits.items()}
+
+
+def make_batch_schedule(n_train: int, batch_size: int, epochs: int,
+                        seed: int) -> List[List[np.ndarray]]:
+    """Shared per-epoch batch index schedule (full batches only) so both
+    frameworks consume the same sample orderings."""
+    sched = []
+    for epoch in range(epochs):
+        rng = np.random.default_rng((seed, epoch, 7))
+        order = rng.permutation(n_train)
+        nb = n_train // batch_size
+        sched.append([order[i * batch_size:(i + 1) * batch_size]
+                      for i in range(nb)])
+    return sched
+
+
+def train_sie_tpu(cfg: Config, splits, batch_schedule,
+                  verbose: bool = False) -> Dict[str, float]:
+    """Trains the sie_tpu model with the production Trainer under the
+    reference's epoch semantics (Experiment.train, exp:295-378): beta schedule,
+    early stop on negative val accuracy, best-checkpoint restore."""
+    import jax
+    from sie_tpu.train.trainer import Trainer, compute_beta
+
+    xtr, ytr = splits["train"]
+    trainer = Trainer(cfg, steps_per_epoch=len(batch_schedule[0]))
+    mk = lambda idx: (xtr[idx], ytr[idx].astype(np.int32),
+                      np.ones((len(idx), xtr.shape[1]), np.float32),
+                      np.ones((len(idx),), np.float32))
+    state = trainer.init_state(mk(batch_schedule[0][0]), seed=cfg.seed)
+
+    def evaluate(state, x, y):
+        losses, correct = [], 0
+        b = cfg.batch_size
+        for i in range(0, len(x), b):
+            xb, yb = x[i:i + b], y[i:i + b]
+            if len(xb) < b:                      # pad to the compiled shape
+                pad = b - len(xb)
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                                  xb.dtype)])
+                yb = np.concatenate([yb, np.zeros((pad,), yb.dtype)])
+            batch = (xb, yb.astype(np.int32),
+                     np.ones((b, xb.shape[1]), np.float32),
+                     np.ones((b,), np.float32))
+            logits, _info = trainer.eval_step(state, batch)
+            logits = np.asarray(jax.device_get(logits))[:len(x[i:i + b])]
+            correct += int((logits.argmax(-1) == y[i:i + b]).sum())
+        return correct / max(len(x), 1)
+
+    best_acc, best_params, patience_left = -1.0, None, cfg.patience
+    epoch_stop = 0
+    for epoch in range(cfg.train_epochs):
+        beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
+        for idx in batch_schedule[epoch % len(batch_schedule)]:
+            state, loss, _ = trainer.train_step(state, mk(idx), beta)
+        val_acc = evaluate(state, *splits["val"])
+        if verbose and (epoch + 1) % cfg.log_interval == 0:
+            print(f"[sie_tpu] epoch {epoch + 1} val_acc {val_acc:.4f}")
+        if epoch >= cfg.min_epochs:
+            if val_acc > best_acc:
+                best_acc = val_acc
+                best_params = (jax.device_get(state.params),
+                               jax.device_get(state.batch_stats))
+                patience_left = cfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    epoch_stop = epoch
+                    break
+        epoch_stop = epoch
+    if best_params is not None:
+        state = state.replace(params=jax.device_put(best_params[0]),
+                              batch_stats=jax.device_put(best_params[1]))
+    test_acc = evaluate(state, *splits["test"])
+    return {"test_accuracy": 100.0 * test_acc,
+            "val_accuracy": 100.0 * max(best_acc, 0.0),
+            "epoch_stop": epoch_stop}
+
+
+def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
+               seeds=(0, 1, 2), epochs: int = 40, batch_size: int = 16,
+               overrides: Optional[dict] = None,
+               verbose: bool = False) -> Dict:
+    """A/B one model config across seeds. Returns per-seed accuracies and the
+    mean delta (sie_tpu - torch, percentage points)."""
+    splits = make_parity_splits(kind, seed=0)
+    n_class = int(splits["train"][1].max()) + 1
+    t, c = splits["train"][0].shape[1:]
+    results = {"torch": [], "sie_tpu": []}
+    for seed in seeds:
+        kw = dict(data="UEA", dataset=f"parity-{kind}", model=model,
+                  dnn_type=dnn_type, seq_len=t, enc_in=c, num_class=n_class,
+                  num_shapelet=4, batch_size=batch_size, train_epochs=epochs,
+                  patience=max(8, epochs // 4), lr=5e-3, amp=False,
+                  dropout=0.0, d_model=64, d_ff=128, n_heads=4, e_layers=2,
+                  use_pallas=False, seed=seed, log_interval=1000)
+        kw.update(overrides or {})
+        cfg = Config(**kw)
+        sched = make_batch_schedule(len(splits["train"][0]), cfg.batch_size,
+                                    cfg.train_epochs, seed)
+        from sie_tpu.parity.torch_reference import train_torch_reference
+        rt = train_torch_reference(cfg, splits, sched, verbose=verbose)
+        rj = train_sie_tpu(cfg, splits, sched, verbose=verbose)
+        results["torch"].append(rt)
+        results["sie_tpu"].append(rj)
+        if verbose:
+            print(f"[seed {seed}] torch {rt['test_accuracy']:.2f}% "
+                  f"sie_tpu {rj['test_accuracy']:.2f}%")
+    acc_t = [r["test_accuracy"] for r in results["torch"]]
+    acc_j = [r["test_accuracy"] for r in results["sie_tpu"]]
+    return {"model": model, "dnn_type": dnn_type, "kind": kind,
+            "seeds": list(seeds),
+            "torch_acc": acc_t, "sie_tpu_acc": acc_j,
+            "torch_mean": float(np.mean(acc_t)),
+            "sie_tpu_mean": float(np.mean(acc_j)),
+            "delta_pts": float(np.mean(acc_j) - np.mean(acc_t)),
+            "per_seed": results}

@@ -1,0 +1,352 @@
+"""Reference-faithful PyTorch InterpGN used ONLY for convergence-parity A/B
+runs (VERDICT r2 item 1) — this is the verification yardstick, not part of the
+TPU compute path.
+
+Faithful to the reference's live semantics, cited per component:
+- Shapelet unit: unfold + mean-|diff| distance, RBF, straight-through max over
+  windows                       (model/Shapelet.py:46-88)
+- ShapeBottleneckModel: per-bank L = max(3, ceil(frac*T)), instance norm with
+  unbiased std + 1e-8, linear head without bias, L1-reg + exp(-pairwise-dist)
+  diversity loss, non-negative weight clamp (model/Shapelet.py:134-238)
+- InterpGN Gini gate eta = (C*sum p^2 - 1)/(C-1), optional hard gating
+                                  (model/InterpGN.py:39-60)
+- FCN backbone: Conv1d(8/5/3) + BN + ReLU stacks, adaptive avg pool
+                                  (model/FullyConvNet.py:7-59)
+- Transformer backbone: circular-conv token embedding + sinusoidal PE,
+  post-norm encoder with conv1d FFN, gelu/dropout/mask/flatten head
+  (model/Transformer.py:99-110, layers/Embed.py:22-41,
+   layers/SelfAttention_Family.py:48-75,179-213,
+   layers/Transformer_EncDec.py:27-80)
+- Training: Adam(lr) + CosineAnnealingWarmRestarts(T_0=train_epochs) stepped
+  per epoch under --lr_decay, loss = CE + model_info.loss.mean()
+  + beta(epoch)*CE(shapelet_preds), gradient accumulation / clip, pos_weight
+  clamp after optimizer step, early stopping on negative validation accuracy
+  with patience, best-checkpoint restore (exp/experiment_classification.py:
+  295-378,19-26; utils/tools.py:9-38)
+
+The implementation is an independent rewrite from the SURVEY.md description
+(not a copy): modules are condensed to the live code paths only (no dead
+forecast branches, no memory_efficient autograd twin).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from sie_tpu.config import Config
+
+
+def _bank_lengths(cfg: Config) -> List[int]:
+    return [max(3, int(np.ceil(f * cfg.seq_len))) for f in cfg.shapelet_lengths]
+
+
+def _stride(seq_len: int, length: int) -> int:
+    return 1 if seq_len < 3000 else max(1, int(np.log2(length)))
+
+
+class TorchShapeletBank(nn.Module):
+    """One shapelet bank (reference Shapelet.py:46-88, euclidean metric)."""
+
+    def __init__(self, n: int, c: int, length: int, stride: int, eps: float):
+        super().__init__()
+        self.length, self.stride, self.eps = length, stride, eps
+        self.weights = nn.Parameter(torch.normal(0.0, 1.0, (n, c, length)))
+
+    def forward(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
+        # x: instance-normalized (B, C, T)
+        win = x.unfold(2, self.length, self.stride)      # (B, C, W, L)
+        win = win.permute(0, 2, 1, 3).unsqueeze(2)       # (B, W, 1, C, L)
+        d = (win - self.weights).abs().mean(-1)          # (B, W, n, C)
+        p = torch.exp(-(self.eps * d) ** 2)
+        # straight-through max over windows (Shapelet.py:79-83)
+        hard = torch.zeros_like(p).scatter_(1, p.argmax(1, keepdim=True), 1.0)
+        soft = torch.softmax(p, dim=1)
+        max_p = ((hard + soft - soft.detach()) * p).sum(1)
+        return max_p.flatten(1), d.min(1).values.flatten(1)
+
+
+class TorchSBM(nn.Module):
+    """(reference Shapelet.py:134-238; linear head only — the parity configs)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        self.cfg = cfg
+        nums = cfg.num_shapelets_per_bank
+        self.banks = nn.ModuleList(
+            TorchShapeletBank(nums[i], cfg.enc_in, l,
+                              _stride(cfg.seq_len, l), cfg.epsilon)
+            for i, l in enumerate(_bank_lengths(cfg)))
+        total = sum(n * cfg.enc_in for n in nums)
+        self.output_layer = nn.Linear(total, cfg.num_class, bias=False)
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.pdist = nn.PairwiseDistance(p=2)            # eps=1e-6 default
+
+    def forward(self, x, *_args, **_kw):
+        x = x.transpose(1, 2)                            # (B, C, T)
+        x = (x - x.mean(-1, keepdim=True)) / (x.std(-1, keepdim=True) + 1e-8)
+        ps, ds = zip(*[bank(x) for bank in self.banks])
+        p = torch.cat(ps, -1)
+        d = torch.cat(ds, -1)
+        out = self.output_layer(self.dropout(p))
+        return out, {"d": d, "p": p, "shapelet_preds": out, "preds": out,
+                     "loss": self.loss().unsqueeze(0)}
+
+    def loss(self) -> torch.Tensor:
+        cfg = self.cfg
+        reg = self.output_layer.weight.abs().mean()
+        div = torch.zeros((), device=reg.device)
+        if cfg.lambda_div > 0:
+            for bank in self.banks:
+                sh = bank.weights.permute(1, 0, 2)       # (C, n, L)
+                dist = self.pdist(sh.unsqueeze(1), sh.unsqueeze(2))
+                eye = torch.eye(sh.shape[1], device=dist.device).unsqueeze(0)
+                div = div + (torch.exp(-dist) * (1.0 - eye)).mean()
+        return cfg.lambda_reg * reg + cfg.lambda_div * div
+
+    def step(self):
+        with torch.no_grad():
+            self.output_layer.weight.clamp_(0.0)
+
+
+class TorchFCN(nn.Module):
+    """(reference model/FullyConvNet.py:7-59)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        ks = (3, 3, 2) if cfg.seq_len <= 10 else (8, 5, 3)
+        chans = (cfg.enc_in, 128, 256, 128)
+        self.blocks = nn.Sequential(*[
+            nn.Sequential(nn.Conv1d(chans[i], chans[i + 1], ks[i]),
+                          nn.BatchNorm1d(chans[i + 1]), nn.ReLU())
+            for i in range(3)])
+        self.fc = nn.Linear(128, cfg.num_class)
+
+    def forward(self, x, *_args, **_kw):
+        h = self.blocks(x.transpose(1, 2))
+        return self.fc(F.adaptive_avg_pool1d(h, 1).flatten(1))
+
+
+class _TorchEncoderLayer(nn.Module):
+    """Post-norm attention + conv1d FFN (Transformer_EncDec.py:27-51 with
+    FullAttention mask_flag=False, SelfAttention_Family.py:48-75)."""
+
+    def __init__(self, d_model: int, n_heads: int, d_ff: int, dropout: float,
+                 activation: str):
+        super().__init__()
+        self.h = n_heads
+        self.q = nn.Linear(d_model, d_model)
+        self.k = nn.Linear(d_model, d_model)
+        self.v = nn.Linear(d_model, d_model)
+        self.out = nn.Linear(d_model, d_model)
+        self.conv1 = nn.Conv1d(d_model, d_ff, 1)
+        self.conv2 = nn.Conv1d(d_ff, d_model, 1)
+        self.norm1 = nn.LayerNorm(d_model)
+        self.norm2 = nn.LayerNorm(d_model)
+        self.dropout = nn.Dropout(dropout)
+        self.act = F.relu if activation == "relu" else F.gelu
+
+    def forward(self, x):
+        b, t, dm = x.shape
+        dk = dm // self.h
+        split = lambda z: z.view(b, t, self.h, dk)
+        scores = torch.einsum("blhe,bshe->bhls", split(self.q(x)),
+                              split(self.k(x)))
+        a = self.dropout(torch.softmax(scores / math.sqrt(dk), dim=-1))
+        attn = torch.einsum("bhls,bshd->blhd", a, split(self.v(x)))
+        x = x + self.dropout(self.out(attn.reshape(b, t, dm)))
+        y = x = self.norm1(x)
+        y = self.dropout(self.act(self.conv1(y.transpose(-1, 1))))
+        y = self.dropout(self.conv2(y).transpose(-1, 1))
+        return self.norm2(x + y)
+
+
+class TorchTransformer(nn.Module):
+    """Classification path of the TSlib Transformer (model/Transformer.py:99-110)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        self.tokenConv = nn.Conv1d(cfg.enc_in, cfg.d_model, 3, padding=1,
+                                   padding_mode="circular", bias=False)
+        nn.init.kaiming_normal_(self.tokenConv.weight, mode="fan_in",
+                                nonlinearity="leaky_relu")
+        pe = torch.zeros(cfg.seq_len, cfg.d_model)
+        pos = torch.arange(cfg.seq_len).float().unsqueeze(1)
+        div = (torch.arange(0, cfg.d_model, 2).float()
+               * -(math.log(10000.0) / cfg.d_model)).exp()
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe.unsqueeze(0))
+        self.emb_dropout = nn.Dropout(cfg.dropout)
+        self.layers = nn.ModuleList(
+            _TorchEncoderLayer(cfg.d_model, cfg.n_heads, cfg.d_ff,
+                               cfg.dropout, cfg.activation)
+            for _ in range(cfg.e_layers))
+        self.norm = nn.LayerNorm(cfg.d_model)
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.projection = nn.Linear(cfg.seq_len * cfg.d_model, cfg.num_class)
+
+    def forward(self, x, mask=None, *_args, **_kw):
+        h = self.tokenConv(x.permute(0, 2, 1)).transpose(1, 2) + self.pe
+        h = self.emb_dropout(h)
+        for layer in self.layers:
+            h = layer(h)
+        h = self.dropout(F.gelu(self.norm(h)))
+        if mask is not None:
+            h = h * mask.unsqueeze(-1)
+        return self.projection(h.reshape(h.shape[0], -1))
+
+
+class TorchInterpGN(nn.Module):
+    """(reference model/InterpGN.py:22-66)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        self.sbm = TorchSBM(cfg)
+        self.deep_model = {"FCN": TorchFCN,
+                           "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
+
+    def forward(self, x, mask=None, gating_value=None):
+        sbm_out, info = self.sbm(x)
+        deep_out = self.deep_model(x, mask)
+        p = torch.softmax(sbm_out, dim=-1)
+        c = sbm_out.shape[-1]
+        eta = (c * p.pow(2).sum(-1, keepdim=True) - 1) / (c - 1)
+        if gating_value is not None:
+            hard = (eta > gating_value).float()
+            eta = hard + eta * (1 - hard)
+        out = eta * sbm_out + (1 - eta) * deep_out
+        info.update(eta=eta, dnn_preds=deep_out, preds=out,
+                    shapelet_preds=sbm_out)
+        return out, info
+
+    def loss(self):
+        return self.sbm.loss()
+
+    def step(self):
+        self.sbm.step()
+
+
+def build_torch_model(cfg: Config) -> nn.Module:
+    if cfg.model == "SBM":
+        return TorchSBM(cfg)
+    if cfg.model == "InterpGN":
+        return TorchInterpGN(cfg)
+    if cfg.model == "DNN":
+        return {"FCN": TorchFCN, "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
+    raise ValueError(f"parity harness covers SBM/InterpGN/DNN, not {cfg.model}")
+
+
+def _compute_beta(epoch: int, max_epoch: int, schedule: str) -> float:
+    if schedule == "cosine":
+        return 0.5 * (1 + math.cos(math.pi * epoch / max_epoch))
+    if schedule == "linear":
+        return 1 - epoch / max_epoch
+    return 1.0
+
+
+@torch.no_grad()
+def _eval(model: nn.Module, cfg: Config, x: np.ndarray, y: np.ndarray,
+          batch_size: int) -> Tuple[float, float]:
+    model.eval()
+    losses, correct = [], 0
+    for i in range(0, len(x), batch_size):
+        xb = torch.from_numpy(x[i:i + batch_size]).float()
+        yb = torch.from_numpy(y[i:i + batch_size]).long()
+        mask = torch.ones(xb.shape[0], xb.shape[1])
+        if cfg.model == "DNN":
+            logits = model(xb, mask)
+            loss = F.cross_entropy(logits, yb, reduction="none")
+        else:
+            logits, info = model(xb, mask)
+            loss = F.cross_entropy(logits, yb, reduction="none") \
+                + info["loss"].mean()
+        losses.append(loss.flatten())
+        correct += (logits.argmax(-1) == yb).sum().item()
+    model.train()
+    return float(torch.cat(losses).mean()), correct / max(len(x), 1)
+
+
+def train_torch_reference(cfg: Config, splits: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                          batch_schedule: Optional[List[List[np.ndarray]]] = None,
+                          verbose: bool = False) -> Dict[str, float]:
+    """Trains the torch reference on host arrays; returns test metrics.
+
+    splits: {"train"/"val"/"test": (x (N,T,C) f32, y (N,) int)}.
+    batch_schedule: optional per-epoch list of index arrays so the torch and
+    sie_tpu runs consume IDENTICAL batch orderings (removes shuffling as a
+    parity confound)."""
+    torch.manual_seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    model = build_torch_model(cfg)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=cfg.train_epochs) if cfg.lr_decay else None
+    xtr, ytr = splits["train"]
+    best_acc, best_state, patience_left = -1.0, None, cfg.patience
+    epoch_stop = 0
+    train_step = 0
+    for epoch in range(cfg.train_epochs):
+        if batch_schedule is not None:
+            batches = batch_schedule[epoch % len(batch_schedule)]
+        else:
+            order = np.random.permutation(len(xtr))
+            batches = [order[i:i + cfg.batch_size]
+                       for i in range(0, len(order), cfg.batch_size)]
+        for idx in batches:
+            train_step += 1
+            xb = torch.from_numpy(xtr[idx]).float()
+            yb = torch.from_numpy(ytr[idx]).long()
+            mask = torch.ones(xb.shape[0], xb.shape[1])
+            if cfg.model == "DNN":
+                logits = model(xb, mask)
+                loss = F.cross_entropy(logits, yb)
+            else:
+                logits, info = model(xb, mask)
+                loss = F.cross_entropy(logits, yb) + info["loss"].mean()
+                if cfg.model == "InterpGN":
+                    beta = _compute_beta(epoch, cfg.train_epochs,
+                                         cfg.beta_schedule)
+                    loss = loss + beta * F.cross_entropy(
+                        info["shapelet_preds"], yb)
+            accum = max(cfg.gradient_accumulation_steps, 1)
+            (loss / accum).backward()
+            if train_step % accum == 0:
+                if cfg.gradient_clip > 0:
+                    nn.utils.clip_grad_norm_(model.parameters(),
+                                             cfg.gradient_clip)
+                opt.step()
+                if cfg.pos_weight and cfg.model != "DNN":
+                    model.step()
+                opt.zero_grad()
+        val_loss, val_acc = _eval(model, cfg, *splits["val"], cfg.batch_size)
+        if verbose and (epoch + 1) % cfg.log_interval == 0:
+            print(f"[torch] epoch {epoch + 1} val_loss {val_loss:.4f} "
+                  f"val_acc {val_acc:.4f}")
+        if cfg.lr_decay:
+            sched.step()
+        if epoch >= cfg.min_epochs:
+            # EarlyStopping(delta=0) on score=-val_acc: improvement iff
+            # score < best (utils/tools.py:9-38 via exp:360-366)
+            if val_acc > best_acc:
+                best_acc = val_acc
+                best_state = {k: v.detach().clone()
+                              for k, v in model.state_dict().items()}
+                patience_left = cfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    epoch_stop = epoch
+                    break
+        epoch_stop = epoch
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    test_loss, test_acc = _eval(model, cfg, *splits["test"], cfg.batch_size)
+    return {"test_accuracy": 100.0 * test_acc, "test_loss": test_loss,
+            "val_accuracy": 100.0 * max(best_acc, 0.0),
+            "epoch_stop": epoch_stop}

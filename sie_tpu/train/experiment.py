@@ -273,18 +273,19 @@ class Experiment:
         self._log(f"Test accuracy {metrics['accuracy']:.2f}% "
                   f"(random baseline {metrics['random_baseline']:.2f}%)")
 
-        df = None
         if save_csv:
-            df = self._summary_frame(result, metrics)
+            result.summary = self._summary_frame(result, metrics)
             out_dir = result_dir or os.path.join(cfg.result_dir, cfg.model)
             os.makedirs(out_dir, exist_ok=True)
             ts = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
             path = os.path.join(
                 out_dir, f"{cfg.dataset}-{cfg.seed}-{cfg.model}-"
                          f"{cfg.num_shapelet}-{cfg.lambda_div}-{cfg.lambda_reg}-{ts}.csv")
-            df.to_csv(path, index=False)
+            result.summary.to_csv(path, index=False)
             self._log(f"Test summary saved at: {path}")
-        return loss, metrics, result if df is None else df
+        # one return type regardless of save_csv: the full ClassificationResult
+        # (the summary frame rides on result.summary)
+        return loss, metrics, result
 
     def _summary_frame(self, result: ClassificationResult, metrics: dict):
         import pandas as pd

@@ -245,7 +245,11 @@ class Trainer:
 
     def stage_steps(self, steps, beta=0.0):
         """Upload an epoch's (idx, w) schedule + beta in three transfers.
-        steps: list of (idx (B,), w (B,)) pairs from Batcher.epoch_indices."""
+        steps: list of (idx (B,), w (B,)) pairs from Batcher.epoch_indices.
+        Returns None for an empty epoch (np.stack would raise); callers loop
+        `range(len(steps))` so a None schedule is never dereferenced."""
+        if not steps:
+            return None
         idx_all = np.stack([i for i, _ in steps]).astype(np.int32)
         w_all = np.stack([w for _, w in steps]).astype(np.float32)
         return (jax.device_put(idx_all), jax.device_put(w_all),

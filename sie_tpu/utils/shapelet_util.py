@@ -27,6 +27,7 @@ class ClassificationResult:
     eta: Optional[np.ndarray] = None
     w: Optional[np.ndarray] = None            # (num_class, F) classifier weights
     shapelets: Optional[List[Tuple[np.ndarray, int]]] = None
+    summary: Optional[object] = None          # pandas summary frame (save_csv)
 
 
 def compute_shapelet_score(shapelet_distances: np.ndarray, cls_weights: np.ndarray,

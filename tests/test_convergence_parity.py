@@ -1,0 +1,30 @@
+"""End-to-end convergence parity vs the reference-faithful torch IGN
+(VERDICT r2 item 1): identical data + identical batch schedules, compare
+converged test accuracy. The full 3-config x 3-seed certification is
+scripts/convergence_parity.py (artifact: docs/PARITY_CONVERGENCE.md); these
+bounded variants keep the suite budget sane."""
+
+import numpy as np
+import pytest
+
+from sie_tpu.parity.harness import run_parity
+
+
+@pytest.mark.slow
+def test_sbm_convergence_parity():
+    r = run_parity("SBM", kind="uea", seeds=(0, 1), epochs=25, batch_size=16,
+                   overrides=dict(num_shapelet=4))
+    # both frameworks must LEARN (well above the 25% baseline) and agree
+    assert r["torch_mean"] > 80.0, r
+    assert r["sie_tpu_mean"] > 80.0, r
+    assert abs(r["delta_pts"]) <= 10.0, r
+
+
+@pytest.mark.slow
+def test_interpgn_fcn_convergence_parity():
+    r = run_parity("InterpGN", dnn_type="FCN", kind="eeg3", seeds=(0, 1),
+                   epochs=25, batch_size=16,
+                   overrides=dict(num_shapelet=4, beta_schedule="cosine"))
+    assert r["torch_mean"] > 75.0, r
+    assert r["sie_tpu_mean"] > 75.0, r
+    assert abs(r["delta_pts"]) <= 10.0, r

@@ -63,17 +63,22 @@ def test_two_process_loso_disjoint(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=repo, cache=str(tmp_path / "cache"),
                                      out=str(tmp_path)))
-    # free-port allocation: a hardcoded port collides across concurrent runs
+    # free-port allocation: a hardcoded port collides across concurrent runs.
+    # SO_REUSEADDR + keeping the socket open until just before Popen shrinks
+    # the close()->coordinator-bind TOCTOU window (the coordinator itself
+    # binds with SO_REUSEADDR, so the lingering TIME_WAIT state is harmless).
     import socket
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
     env_base = {**os.environ, "SIE_TPU_COORDINATOR": f"localhost:{port}",
                 "SIE_TPU_NUM_PROCESSES": "2", "JAX_PLATFORMS": "cpu"}
     env_base.pop("XLA_FLAGS", None)
     # output to files, not PIPEs: a worker blocked on a full pipe while the
     # other waits at a collective would deadlock the whole test
     logs = [open(tmp_path / f"worker_{i}.log", "wb") for i in range(2)]
+    s.close()
     procs = [subprocess.Popen([sys.executable, str(script)],
                               env={**env_base, "SIE_TPU_PROCESS_ID": str(i)},
                               stdout=logs[i], stderr=subprocess.STDOUT)

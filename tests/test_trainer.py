@@ -39,11 +39,11 @@ def test_sbm_learns_toy_problem(uea_root, tmp_path):
                     shapelet_lengths=(0.05, 0.1, 0.2, 0.3, 0.5, 0.8))
     exp = Experiment(cfg, verbose=False)
     exp.train()
-    loss, metrics, df = exp.test(save_csv=True)
+    loss, metrics, res = exp.test(save_csv=True)
     assert metrics["accuracy"] > 60.0  # well above the 50% baseline
     # CSV summary written with the interpretability stats
-    assert "w_gini_abs" in df.columns
-    assert "shapelet_score" in df.columns
+    assert "w_gini_abs" in res.summary.columns
+    assert "shapelet_score" in res.summary.columns
     assert exp.has_checkpoint()
 
 
@@ -67,6 +67,15 @@ def test_interpgn_trains(uea_root, tmp_path):
     loss, metrics, res = exp.test(save_csv=False)
     assert np.isfinite(loss)
     assert res.eta is not None
+    # viz smoke on a REAL trained result (not a synthetic bundle): the full
+    # explanation + t-SNE path the reference exercises by hand from the
+    # pickled results (utils/shapelet_util.py:44-195)
+    from sie_tpu.utils.shapelet_util import plot_tsne, visualize_shapelets
+    visualize_shapelets(res, sample_idx=0, top_k=3,
+                        save_path=str(tmp_path / "explain.png"))
+    plot_tsne(res.p, res.trues, save_path=str(tmp_path / "tsne.png"))
+    assert (tmp_path / "explain.png").exists()
+    assert (tmp_path / "tsne.png").exists()
 
 
 def test_dnn_trains(uea_root, tmp_path):
