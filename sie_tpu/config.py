@@ -123,6 +123,9 @@ class Config:
     use_flash_attention: bool = False  # Pallas flash attention (opt-in: wins
     # only for long sequences / memory-bound regimes; at CHISCO length 845 the
     # XLA fused naive attention measured 3x faster — docs/BENCH_NOTES.md)
+    use_fused_attention: bool = True   # fused full-row attention kernel
+    # (ops/pallas/attention_pallas.py): default path for T<=4096; exact
+    # softmax + in-kernel dropout; interpret-mode off-TPU
     checkpoint_dir: str = "./checkpoints"
     result_dir: str = "./result"
     cache_dir: str = "./cache"         # preprocessed-array cache (EEG)

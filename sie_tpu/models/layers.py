@@ -76,13 +76,16 @@ class FullAttentionLayer(nn.Module):
     """QKV projections + scaled-dot-product full attention
     (reference SelfAttention_Family.py:48-75 + 179-213, mask_flag=False path).
 
-    Optional flash-attention path (use_flash, TPU + bf16 + no attention
-    dropout): the Pallas online-softmax kernel never materializes the
-    (B, H, L, S) score matrix; sequences pad to a 128 multiple with the pad
-    isolated by segment ids, preserving the reference's attend-over-everything
-    semantics for real positions. OPT-IN because at CHISCO length (845) XLA's
-    fused naive attention measured 3x faster (15 vs 45 ms fwd+bwd, batch 64) —
-    flash wins in long-sequence / memory-bound regimes (docs/BENCH_NOTES.md).
+    Default compute path on TPU is the FUSED full-row Pallas kernel
+    (`ops/pallas/attention_pallas.py`, use_fused): exact one-pass softmax per
+    q-block against the whole VMEM-resident K/V, recompute backward,
+    in-kernel attention dropout. At T<=2k it removes the (B, H, L, S)
+    score/prob HBM round-trips that cap the XLA path at ~23% MFU
+    (docs/BENCH_NOTES.md r2) without flash's streaming bookkeeping.
+
+    Optional stock flash path (use_flash, TPU + bf16 + no attention dropout)
+    kept for the long-sequence regime: at CHISCO length (845) it measured 3x
+    SLOWER than XLA naive (45 vs 15 ms fwd+bwd, batch 64) — opt-in only.
     """
 
     d_model: int
@@ -90,6 +93,8 @@ class FullAttentionLayer(nn.Module):
     attention_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused: bool = False
+    fused_max_len: int = 4096   # VMEM bound for the K/V-resident kernel
 
     def _flash(self, q, k, v, dk):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -123,8 +128,27 @@ class FullAttentionLayer(nn.Module):
                      and q_in.shape[1] == k_in.shape[1]
                      and dk in (64, 128, 256)
                      and jax.default_backend() == "tpu")
+        use_fused = (self.use_fused and not use_flash
+                     and q_in.shape[1] == k_in.shape[1]
+                     and q_in.shape[1] <= self.fused_max_len
+                     and dk <= 128)
         if use_flash:
             out = self._flash(q, k, v, dk)
+        elif use_fused:
+            from sie_tpu.ops.pallas.attention_pallas import fused_attention
+            b, l = q.shape[0], q.shape[1]
+            rate = self.attention_dropout if train else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            fold = lambda z: jnp.transpose(z, (0, 2, 1, 3)).reshape(
+                b * h, l, dk)
+            o = fused_attention(fold(q), fold(k), fold(v), seed,
+                                1.0 / math.sqrt(dk), rate)
+            out = jnp.transpose(o.reshape(b, h, l, dk), (0, 2, 1, 3))
         else:
             if self.dtype == jnp.bfloat16:
                 # torch-autocast parity: the score matrix is STORED bf16
@@ -154,6 +178,7 @@ class EncoderLayer(nn.Module):
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -161,7 +186,8 @@ class EncoderLayer(nn.Module):
         attn = FullAttentionLayer(self.d_model, self.n_heads,
                                   attention_dropout=self.dropout,
                                   dtype=self.dtype,
-                                  use_flash=self.use_flash)(x, x, x, train=train)
+                                  use_flash=self.use_flash,
+                                  use_fused=self.use_fused)(x, x, x, train=train)
         x = x + drop(attn)
         x = y = nn.LayerNorm(name="norm1")(x)
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
@@ -181,6 +207,7 @@ class Encoder(nn.Module):
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -189,7 +216,8 @@ class Encoder(nn.Module):
         for i in range(self.e_layers):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,
-                             self.use_flash, name=f"layer_{i}")(x, train=train)
+                             self.use_flash, self.use_fused,
+                             name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
 
 

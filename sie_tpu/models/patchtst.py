@@ -33,7 +33,8 @@ class _EncoderChunk(nn.Module):
         enc = enc_cls(
             cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
             cfg.dropout, cfg.activation, dtype=cfg.compute_dtype,
-            use_flash=cfg.use_flash_attention, name="encoder")
+            use_flash=cfg.use_flash_attention,
+            use_fused=cfg.use_fused_attention, name="encoder")
         return carry, enc(x, self.train)
 
 

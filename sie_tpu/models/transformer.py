@@ -29,6 +29,7 @@ class Transformer(nn.Module):
         h = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
                     cfg.dropout, cfg.activation, dtype=dt,
                     use_flash=cfg.use_flash_attention,
+                    use_fused=cfg.use_fused_attention,
                     name="encoder")(h, train=train)
         h = jax.nn.gelu(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)

@@ -1,0 +1,243 @@
+"""Fused full-attention Pallas kernel for short/medium sequences — the
+Transformer-backbone hot path (reference model/Transformer.py:99-110 +
+layers/SelfAttention_Family.py:48-75; VERDICT r2 item 2).
+
+Why not stock flash: at CHISCO length (T=845) the streaming online-softmax
+formulation measured 3x SLOWER than XLA's fused naive attention (45 vs 15 ms
+fwd+bwd — docs/BENCH_NOTES.md): its per-kv-block running-max bookkeeping and
+recompute-heavy backward are built for T >> VMEM, which T<=2k is not.
+
+This kernel exploits the fact that at T<=2k a FULL key row fits in VMEM:
+
+- forward: grid (B*H, T_pad/BQ). Each program computes one (BQ, T_pad) score
+  block against the ENTIRE K/V (which have a j-constant index map, so Pallas
+  keeps them VMEM-resident across the inner grid axis) — softmax is exact in
+  one pass, no running-max/rescale machinery, no (B, H, T, T) HBM round-trips
+  (the XLA path moves ~4-6 GB/layer-step of score/prob traffic at this size).
+- backward (custom VJP): same grid; recomputes the score block (2 cheap
+  matmuls beat storing T^2 probs), then dV/dK accumulate into j-constant
+  VMEM-resident output blocks while dQ writes per block. Softmax backward is
+  exact within the program because the full key row is present.
+- attention dropout (the real training config) runs IN-kernel via a
+  counter-based hash keyed on (seed, bh, global row, col), so forward and
+  backward regenerate bit-identical masks without materializing them in HBM
+  (see _dropout_mask for why not pltpu.prng_*).
+- numerics parity with the torch-autocast reference when inputs are bf16:
+  scores are rounded to bf16 after the f32-accumulated QK matmul (autocast
+  bmm stores bf16), softmax runs in f32, probs are cast to the value dtype
+  for the PV matmul.
+
+Key padding is masked with a finite -1e30 (padded-query rows then softmax to
+uniform garbage and are sliced off host-side; their backward contribution is
+zero because the padded dO rows are zero).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _score_block(q, k, scale, t_real, col0=0):
+    """(BQ, T_pad) masked, scaled scores for one q block. bf16 inputs round
+    the raw scores to bf16 (torch autocast bmm parity) before the f32
+    softmax."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if q.dtype == jnp.bfloat16:
+        s = s.astype(jnp.bfloat16).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < t_real, s * scale, _NEG)
+
+
+def _dropout_mask(shape, rate, seed, i, row0):
+    """Counter-based Bernoulli(1-rate) keep mask: murmur3-finalizer hash of
+    (seed, bh-program, GLOBAL q row, key col). Global row indexing makes the
+    mask invariant to the q-block size, which differs between the forward and
+    backward launches (VMEM-budget driven). Unlike pltpu.prng_* this is
+    bit-identical between the compiled kernel and the TPU interpreter (whose
+    prng stub returns zeros), which is what lets the forward and backward
+    kernels regenerate the same mask AND lets the CPU suite test dropout."""
+    u32 = lambda z: jnp.uint32(z)
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0.astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    key = (seed.astype(jnp.uint32) * u32(0x9E3779B9)
+           ^ i.astype(jnp.uint32) * u32(0x85EBCA6B))
+    x = (row * u32(0x27D4EB2F) + col) ^ key
+    x = (x ^ (x >> u32(16))) * u32(0x85EBCA6B)
+    x = (x ^ (x >> u32(13))) * u32(0xC2B2AE35)
+    x = x ^ (x >> u32(16))
+    thresh = u32(min(int(rate * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                scale: float, t_real: int, rate: float):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    a = jax.nn.softmax(_score_block(q, k, scale, t_real), axis=-1)
+    if rate > 0.0:
+        row0 = pl.program_id(1) * a.shape[0]
+        keep = _dropout_mask(a.shape, rate, seed_ref[0],
+                             pl.program_id(0), row0)
+        a = jnp.where(keep, a * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *,
+                scale: float, t_real: int, rate: float):
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    j = pl.program_id(1)
+    a = jax.nn.softmax(_score_block(q, k, scale, t_real), axis=-1)
+    inv = 1.0 / (1.0 - rate)
+    if rate > 0.0:
+        keep = _dropout_mask(a.shape, rate, seed_ref[0], pl.program_id(0),
+                             j * a.shape[0])
+        ad = jnp.where(keep, a * inv, 0.0)
+    else:
+        ad = a
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
+        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
+
+    mm = lambda x, y, dims: jax.lax.dot_general(
+        x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
+    # dV += A_drop^T dO  (contract the q rows of this block)
+    dv_ref[0] += mm(ad.astype(do.dtype), do, ((0,), (0,)))
+    dA = mm(do, v, ((1,), (1,)))                       # (BQ, T_pad) f32
+    if rate > 0.0:
+        dA = jnp.where(keep, dA * inv, 0.0)
+    tmp = dA * a
+    ds = (tmp - a * jnp.sum(tmp, axis=-1, keepdims=True)) * scale
+    dsl = ds.astype(q.dtype)                           # bf16 MXU when amp
+    dq_ref[0] = mm(dsl, k, ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0] += mm(dsl, q, ((0,), (0,)))
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_VMEM_BUDGET = 8 * 1024 * 1024  # for the live (BQ, T_pad) f32 intermediates
+
+
+def _pick_bq(t_pad: int, n_live_f32: int) -> int:
+    """Largest divisor of t_pad (multiple of 8) whose n_live_f32 (BQ, T_pad)
+    f32 intermediates fit the VMEM budget. Big blocks matter: at the CHISCO
+    shape a BQ=128 grid is 3584 programs and per-program overhead dominated
+    the kernel (7.8 ms fwd vs ~1.5 at full-row blocks)."""
+    best = 8
+    for k in range(1, t_pad // 8 + 1):
+        if t_pad % k:
+            continue
+        bq = t_pad // k
+        if bq % 8:
+            continue
+        if n_live_f32 * bq * t_pad * 4 <= _VMEM_BUDGET:
+            return bq
+        best = 8
+    return best
+
+
+def _pad_t(x, t_pad, dk_pad=None):
+    """Pad time to t_pad and (optionally) dk up to dk_pad. The dk zero-pad is
+    a pure MXU-efficiency move: contraction depth 64 runs the QK matmul at
+    half tile depth and the PV output at half a column tile — padding to 128
+    measured 6.2 -> 4.6 ms on the matmul-only probe (scripts/attn_lab.py n2);
+    the zero lanes contribute exact zeros everywhere."""
+    dk = x.shape[2]
+    pad_d = (dk_pad - dk) if dk_pad else 0
+    return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, pad_d)))
+
+
+def _specs(bh, t_pad, dk, bq):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qs = pl.BlockSpec((1, bq, dk), lambda i, j: (i, j, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return seed_spec, qs, ks
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    seed: jax.Array, scale: float, rate: float = 0.0,
+                    interpret: bool | None = None) -> jax.Array:
+    """q/k/v: (BH, T, dk) -> (BH, T, dk). Exact softmax(scale*QK^T)V with
+    optional attention dropout. seed: (1,) int32 (ignored when rate == 0)."""
+    return _attn_fwd(q, k, v, seed, scale, rate, interpret)
+
+
+def _attn_fwd(q, k, v, seed, scale, rate, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    bh, t, dk = q.shape
+    t_pad = -(-t // 128) * 128 if t > 128 else -(-t // 8) * 8
+    bq = _pick_bq(t_pad, n_live_f32=2)          # live: s, a
+    dkp = 128 if dk < 128 else dk  # MXU tile depth (also in interpret: tested path == compiled path)
+    qp, kp, vp = (_pad_t(z, t_pad, dkp) for z in (q, k, v))
+    seed_spec, qs, ks = _specs(bh, t_pad, dkp, bq)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, t_real=t, rate=rate),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
+        grid=(bh, t_pad // bq),
+        in_specs=[seed_spec, qs, ks, ks],
+        out_specs=qs,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * dkp,
+            bytes_accessed=2 * 4 * bh * t_pad * dkp,
+            transcendentals=bh * t_pad * t_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp)
+    return out[:, :t, :dk]
+
+
+def _fwd_rule(q, k, v, seed, scale, rate, interpret):
+    return _attn_fwd(q, k, v, seed, scale, rate, interpret), (q, k, v, seed)
+
+
+def _bwd_rule(scale, rate, interpret, res, g):
+    q, k, v, seed = res
+    if interpret is None:
+        interpret = _interpret_default()
+    bh, t, dk = q.shape
+    t_pad = -(-t // 128) * 128 if t > 128 else -(-t // 8) * 8
+    bq = _pick_bq(t_pad, n_live_f32=5)          # live: s, a, dA, tmp, dS
+    dkp = 128 if dk < 128 else dk  # MXU tile depth (also in interpret: tested path == compiled path)
+    qp, kp, vp, gp = (_pad_t(z, t_pad, dkp) for z in (q, k, v, g))
+    seed_spec, qs, ks = _specs(bh, t_pad, dkp, bq)
+    f32 = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    dq, dkk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, t_real=t, rate=rate),
+        out_shape=(jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
+                   f32((bh, t_pad, dkp)), f32((bh, t_pad, dkp))),
+        grid=(bh, t_pad // bq),
+        in_specs=[seed_spec, qs, ks, ks, qs],
+        out_specs=(qs, ks, ks),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * t_pad * t_pad * dkp,
+            bytes_accessed=4 * 4 * bh * t_pad * dkp,
+            transcendentals=bh * t_pad * t_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, gp)
+    import numpy as np
+    seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)  # int primal
+    return (dq[:, :t, :dk], dkk[:, :t, :dk].astype(k.dtype),
+            dv[:, :t, :dk].astype(v.dtype), seed_ct)
+
+
+fused_attention.defvjp(_fwd_rule, _bwd_rule)

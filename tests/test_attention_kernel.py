@@ -1,0 +1,134 @@
+"""Fused-attention Pallas kernel (ops/pallas/attention_pallas.py) vs the
+naive XLA attention — forward, gradients, dropout semantics. Interpret mode
+on CPU; the compiled path is certified on-chip by tests/test_flash_tpu.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sie_tpu.ops.pallas.attention_pallas import fused_attention
+
+
+def naive_attention(q, k, v, scale, keep=None, rate=0.0):
+    s = jnp.einsum("bld,bsd->bls", q.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    if q.dtype == jnp.bfloat16:
+        s = s.astype(jnp.bfloat16).astype(jnp.float32)
+    a = jax.nn.softmax(s * scale, axis=-1)
+    if keep is not None:
+        a = jnp.where(keep, a / (1.0 - rate), 0.0)
+    return jnp.einsum("bls,bsd->bld", a.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def hash_keep_mask(shape_bh_t_tpad, rate, seed):
+    """Reconstructs the kernel's counter-based dropout mask host-side
+    (mirrors _dropout_mask: murmur3 finalizer over (seed, bh, global row,
+    col) — block-size invariant by construction)."""
+    bh, t, t_pad = shape_bh_t_tpad
+    m = np.zeros((bh, t_pad, t_pad), bool)
+    u = np.uint32
+    with np.errstate(over="ignore"):
+        for i in range(bh):
+            row = np.arange(t_pad, dtype=np.uint32)[:, None] * u(0x27D4EB2F)
+            col = np.arange(t_pad, dtype=np.uint32)[None, :]
+            key = u(seed) * u(0x9E3779B9) ^ u(i) * u(0x85EBCA6B)
+            x = (row + col) ^ key
+            x = (x ^ (x >> u(16))) * u(0x85EBCA6B)
+            x = (x ^ (x >> u(13))) * u(0xC2B2AE35)
+            x = x ^ (x >> u(16))
+            thresh = u(min(int(rate * 4294967296.0), 4294967295))
+            m[i] = x >= thresh
+    return m[:, :t, :t]
+
+
+@pytest.mark.parametrize("t,dk", [(29, 16), (64, 32), (150, 64)])
+def test_forward_matches_naive(t, dk):
+    rng = np.random.default_rng(0)
+    bh = 3
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, jnp.zeros((1,), jnp.int32), scale, 0.0)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
+
+
+def test_gradients_match_naive():
+    rng = np.random.default_rng(1)
+    bh, t, dk = 2, 93, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    seed = jnp.zeros((1,), jnp.int32)
+    lf = lambda q, k, v: jnp.sum(
+        jnp.sin(fused_attention(q, k, v, seed, scale, 0.0)))
+    lr = lambda q, k, v: jnp.sum(jnp.sin(naive_attention(q, k, v, scale)))
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_bf16_matches_naive_bf16():
+    """bf16 path: scores rounded to bf16 like the torch-autocast bmm."""
+    rng = np.random.default_rng(2)
+    bh, t, dk = 2, 50, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.bfloat16)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, jnp.zeros((1,), jnp.int32), scale, 0.0)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_dropout_keep_rate_and_grad():
+    rng = np.random.default_rng(3)
+    bh, t, dk = 2, 64, 16
+    rate, seed_val = 0.3, 77
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    seed = jnp.array([seed_val], jnp.int32)
+    keep = hash_keep_mask((bh, t, t), rate, seed_val)
+    assert abs(keep.mean() - (1 - rate)) < 0.02  # Bernoulli(1-rate)
+
+    out = fused_attention(q, k, v, seed, scale, rate)
+    ref = naive_attention(q, k, v, scale, keep=jnp.asarray(keep), rate=rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
+
+    lf = lambda q, k, v: jnp.sum(
+        jnp.sin(fused_attention(q, k, v, seed, scale, rate)))
+    lr = lambda q, k, v: jnp.sum(jnp.sin(
+        naive_attention(q, k, v, scale, keep=jnp.asarray(keep), rate=rate)))
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_padded_tail_is_exact():
+    """T far from the 128-multiple: the padded keys must not leak into the
+    softmax and padded-query garbage must not corrupt dK/dV."""
+    rng = np.random.default_rng(4)
+    bh, t, dk = 2, 130, 16   # pads to 136 sublane / 256 block
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 0.25
+    seed = jnp.zeros((1,), jnp.int32)
+    out = fused_attention(q, k, v, seed, scale, 0.0)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
+    gk = jax.grad(lambda k: jnp.sum(
+        fused_attention(q, k, v, seed, scale, 0.0) ** 2))(k)
+    gkr = jax.grad(lambda k: jnp.sum(naive_attention(q, k, v, scale) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gkr),
+                               atol=5e-6, rtol=1e-4)
