@@ -126,6 +126,12 @@ class Config:
     use_fused_attention: bool = True   # fused full-row attention kernel
     # (ops/pallas/attention_pallas.py): default path for T<=4096; exact
     # softmax + in-kernel dropout; interpret-mode off-TPU
+    fuse_short_banks: bool = False     # fuse stride-1 shapelet banks into one
+    # grouped Pallas launch (opt-in: measured SLOWER at CHISCO shapes — 11.6
+    # vs 10.1 ms for banks {43,85}; register pressure scales with total n,
+    # shrinking the window subtile / spilling — docs/BENCH_NOTES.md r3).
+    # Single-device path only: the grouped call is not routed through the
+    # mesh shard_map region.
     checkpoint_dir: str = "./checkpoints"
     result_dir: str = "./result"
     cache_dir: str = "./cache"         # preprocessed-array cache (EEG)

@@ -183,15 +183,38 @@ class ShapeBottleneckModel(nn.Module):
             self.attention = PredicateAttention(self.total, 16, dtype=cfg.compute_dtype)
         self.drop = nn.Dropout(cfg.dropout)
 
+    def _bank_distances(self, xn):
+        """Per-bank (B, n, C, W) distances; optionally fuses the eligible
+        stride-1 euclidean banks into one grouped Pallas launch
+        (cfg.fuse_short_banks — opt-in, see Config)."""
+        cfg = self.config
+        metric = cfg.distance_func if self.variant == "sbm" else "euclidean"
+        per_bank = {}
+        fuse_idx = []
+        if (cfg.fuse_short_banks and metric == "euclidean" and cfg.use_pallas):
+            from sie_tpu.ops.shapelet import _pallas_available
+            if _pallas_available():
+                fuse_idx = [i for i in range(len(self.banks))
+                            if self.strides[i] == 1]
+                fuse_idx.sort(key=lambda i: self.lengths[i])
+        if len(fuse_idx) >= 2:
+            from sie_tpu.ops.pallas.shapelet_pallas import (
+                l1_sliding_distance_grouped)
+            outs = l1_sliding_distance_grouped(
+                xn, tuple(self.banks[i] for i in fuse_idx))
+            per_bank.update(zip(fuse_idx, outs))
+        for i, bank in enumerate(self.banks):
+            if i not in per_bank:
+                per_bank[i] = _mesh_aware_distance(
+                    xn, bank, self.strides[i], metric, cfg.use_pallas)
+        return [per_bank[i] for i in range(len(self.banks))]
+
     def predicates(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """x: (B, T, C) -> (p, d): each (B, total) in f32."""
         cfg = self.config
         xn = instance_norm(jnp.transpose(x, (0, 2, 1)).astype(jnp.float32))
         ps, ds = [], []
-        for i, bank in enumerate(self.banks):
-            metric = cfg.distance_func if self.variant == "sbm" else "euclidean"
-            d_full = _mesh_aware_distance(xn, bank, self.strides[i], metric,
-                                          cfg.use_pallas)        # (B,n,C,W)
+        for i, d_full in enumerate(self._bank_distances(xn)):   # (B,n,C,W)
             b = d_full.shape[0]
             if self.variant == "sbm":
                 p_full = rbf(d_full, cfg.epsilon)

@@ -319,3 +319,262 @@ def _l1_bwd_rule(stride, interpret, res, g):
 
 
 l1_sliding_distance.defvjp(_l1_fwd_rule, _l1_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Grouped (multi-bank) launch: several short banks fused into ONE kernel
+# (VERDICT r2 item 3 — reference concatenates per-bank outputs,
+# model/Shapelet.py:190-196). Separate launches pay per-launch dispatch AND
+# an x8 shifted-copy fill per launch; short banks (L=43/85) amortize neither
+# (1.5 TF/s standalone vs 4.16 fused-roofline). One launch shares the fill,
+# the window grid, and the x-window loads across all groups' shapelets —
+# group-specific tap ranges mean NO wasted distance compute (only the packed
+# s buffer is zero-padded to L_max).
+# --------------------------------------------------------------------------
+
+def _row_starts(counts):
+    starts = [0]
+    for n in counts:
+        starts.append(starts[-1] + n)
+    return starts
+
+
+def _fwd_kernel_grouped(x_ref, s_ref, out_ref, x8_ref, *,
+                        counts: tuple, lengths: tuple):
+    # Stride-1 only. s_ref: (N, L_max, C) packed banks (ascending L, each
+    # zero-padded to L_max); out_ref: (1, N, WS, C) on the W_max grid.
+    # Taps are processed in per-group segments: taps [L_{g-1}, L_g) update
+    # only the shapelet rows of groups g..G-1 (static row slices).
+    n, _l_max, c = s_ref.shape
+    ws = out_ref.shape[2]
+    j = pl.program_id(1)
+    t8 = x8_ref.shape[1]
+    ck = _TAPS
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(_L_CHUNK):
+            x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
+
+    ws0 = j * ws
+    starts = _row_starts(counts)
+
+    def tap_static(accs, li, ns):
+        xs = x8_ref[li % ck, pl.ds(ws0 + li - li % ck, ws), :]
+        return tuple(a + jnp.abs(xs - s_ref[ni, li]) if ni >= ns else a
+                     for ni, a in enumerate(accs))
+
+    def segment(accs, lo, hi, ns):
+        """Taps [lo, hi) onto shapelet rows ns..N-1."""
+        a0 = min(-(-lo // ck) * ck, hi)           # align head
+        for li in range(lo, a0):
+            accs = tap_static(accs, li, ns)
+        n_chunks = (hi - a0) // ck
+
+        def chunk_body(ci, accs):
+            base = a0 + ci * ck
+            sch = s_ref[ns:, pl.ds(base, ck), :]  # (N-ns, ck, C)
+            for k in range(ck):
+                xs = x8_ref[k, pl.ds(ws0 + base, ws), :]
+                accs = tuple(a + jnp.abs(xs - sch[ni - ns, k]) if ni >= ns
+                             else a for ni, a in enumerate(accs))
+            return accs
+
+        if n_chunks > 0:
+            accs = jax.lax.fori_loop(0, n_chunks, chunk_body, accs)
+        for li in range(a0 + n_chunks * ck, hi):
+            accs = tap_static(accs, li, ns)
+        return accs
+
+    accs = tuple(jnp.zeros((ws, c), jnp.float32) for _ in range(n))
+    lo = 0
+    for g, l_g in enumerate(lengths):
+        accs = segment(accs, lo, l_g, starts[g])
+        lo = l_g
+    scales = [1.0 / lengths[g] for g in range(len(counts))
+              for _ in range(counts[g])]
+    out_ref[0] = jnp.stack([a * s for a, s in zip(accs, scales)])
+
+
+def _bwd_kernel_grouped(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
+                        w_total: int, ls: int,
+                        counts: tuple, lengths: tuple):
+    # Same structure as _bwd_kernel, but the (static) l-subtile loop skips
+    # shapelet rows whose group length ends before the subtile — group-0 rows
+    # do NOT pay group-1's extra taps. The garbage gradient rows beyond each
+    # group's L are sliced off host-side. 1/L_g is folded into g host-side.
+    n, l_pad, c = s_ref.shape
+    wt = g_ref.shape[2]
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    w0 = j * wt
+    t8 = x8_ref.shape[1]
+    ck = _TAPS
+
+    for k in range(_L_CHUNK):
+        x8_ref[k] = x_ref[0, pl.ds(w0 + k, t8), :]
+
+    @pl.when((b == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    starts = _row_starts(counts)
+    l_pad8 = [-(-l_g // _L_CHUNK) * _L_CHUNK for l_g in lengths]
+
+    for li in range(l_pad // ls):
+        l0 = li * ls
+        # first group whose (8-padded) tap range still overlaps this subtile
+        g_first = next((g for g in range(len(counts)) if l_pad8[g] > l0),
+                       None)
+        if g_first is None:
+            break
+        ns = starts[g_first]
+        s_tile = [s_ref[ni, pl.ds(l0, ls), :] for ni in range(ns, n)]
+
+        def chunk_body(wi, accs, l0=l0, ns=ns, s_tile=s_tile):
+            wb = wi * ck
+            gch = g_ref[0, ns:, pl.ds(wb, ck), :]          # (N-ns, ck, C)
+            for k in range(ck):
+                gk = jnp.where(w0 + wb + k < w_total, gch[:, k], 0.0)
+                xs = x8_ref[k, pl.ds(l0 + wb, ls), :]
+                accs = tuple(
+                    a + jnp.where(s_tile[i] > xs, gk[i], -gk[i])
+                    for i, a in enumerate(accs))
+            return accs
+
+        accs = tuple(jnp.zeros((ls, c), jnp.float32) for _ in range(n - ns))
+        accs = jax.lax.fori_loop(0, wt // ck, chunk_body, accs)
+        out_ref[ns:, pl.ds(l0, ls), :] += jnp.stack(accs)
+
+
+def _pack_banks(banks):
+    """[(n_g, C, L_g)] ascending-L -> (N, L_max, C) channels-last packed."""
+    l_max = banks[-1].shape[-1]
+    packed = [jnp.pad(jnp.swapaxes(s.astype(jnp.float32), 1, 2),
+                      ((0, 0), (0, l_max - s.shape[-1]), (0, 0)))
+              for s in banks]
+    return jnp.concatenate(packed, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def l1_sliding_distance_grouped(x: jax.Array, banks, interpret: bool = None):
+    """x (B, C, T), banks: tuple of (n_g, C, L_g) sorted ascending by L ->
+    tuple of d_g (B, n_g, C, W_g) f32. Stride-1 only (the stride>1 regime
+    applies only to seq_len >= 3000 where banks are long and unfused)."""
+    return _grouped_fwd(x, banks, interpret)
+
+
+def _grouped_fwd(x, banks, interpret, ws_override=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, t = x.shape
+    counts = tuple(s.shape[0] for s in banks)
+    lengths = tuple(s.shape[-1] for s in banks)
+    assert list(lengths) == sorted(lengths), "banks must be ascending by L"
+    n = sum(counts)
+    l_max = lengths[-1]
+    w_max = t - lengths[0] + 1
+    # wider-than-budget subtile: the fused N shapelets would shrink WS to 8,
+    # costing a full s-broadcast per acc update (the round-1 inefficiency);
+    # WS=24 trades mild vreg spill for 3x broadcast amortization (measured
+    # best in the grouped sweep, scripts/kernel_lab.py)
+    ws = ws_override or max(_fwd_ws(n, c), 24 if c <= 128 else 8)
+    nws = -(-w_max // ws)
+    t8 = nws * ws + l_max + _L_CHUNK
+    t_pad = t8 + _L_CHUNK
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, t_pad - t), (0, 0)))
+    st = _pack_banks(banks)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_grouped, counts=counts,
+                          lengths=lengths),
+        out_shape=jax.ShapeDtypeStruct((b, n, w_max, c), jnp.float32),
+        grid=(b, nws),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l_max, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, ws, c), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * c * sum(ng * (t - lg + 1) * lg
+                                  for ng, lg in zip(counts, lengths)),
+            bytes_accessed=4 * (b * t * c + n * l_max * c + b * n * w_max * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, st)
+    outs = []
+    starts = _row_starts(counts)
+    for g, l_g in enumerate(lengths):
+        w_g = t - l_g + 1
+        outs.append(jnp.swapaxes(out[:, starts[g]:starts[g + 1], :w_g, :],
+                                 2, 3))
+    return tuple(outs)
+
+
+def _grouped_fwd_rule(x, banks, interpret):
+    return _grouped_fwd(x, banks, interpret), (x, banks)
+
+
+def _grouped_bwd_rule(interpret, res, gs):
+    x, banks = res
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, t = x.shape
+    counts = tuple(s.shape[0] for s in banks)
+    lengths = tuple(s.shape[-1] for s in banks)
+    n = sum(counts)
+    w_max = t - lengths[0] + 1
+    ls, l_pad = _bwd_l_split(n, c, lengths[-1])
+    wt = _window_tile(n, c, w_max)
+    nwt = -(-w_max // wt)
+    xt = _padded_x(x, wt, 1, l_pad)
+    st = jnp.pad(_pack_banks(banks), ((0, 0), (0, l_pad - lengths[-1]),
+                                      (0, 0)))
+    # pack cotangents: (B, n_g, C, W_g) -> (B, N, W_max, C), 1/L_g folded in,
+    # zero-padded over the [W_g, W_max) garbage-window region
+    gt = jnp.concatenate([
+        jnp.pad(jnp.swapaxes(g.astype(jnp.float32), 2, 3) * (1.0 / l_g),
+                ((0, 0), (0, 0), (0, w_max - g.shape[-1]), (0, 0)))
+        for g, l_g in zip(gs, lengths)], axis=1)
+    t_pad = xt.shape[1]
+    t8 = wt + l_pad + _L_CHUNK
+    grad_st = pl.pallas_call(
+        functools.partial(_bwd_kernel_grouped, w_total=w_max, ls=ls,
+                          counts=counts, lengths=lengths),
+        out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
+        grid=(b, nwt),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, wt, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, l_pad, c), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_L_CHUNK, t8, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * c * sum(ng * (t - lg + 1) * lg
+                                  for ng, lg in zip(counts, lengths)),
+            bytes_accessed=4 * (b * t * c + n * l_pad * c + b * n * w_max * c),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, st, gt)
+    starts = _row_starts(counts)
+    grads = tuple(
+        jnp.swapaxes(grad_st[starts[g]:starts[g + 1], :lengths[g], :],
+                     1, 2).astype(banks[g].dtype)
+        for g in range(len(counts)))
+    return jnp.zeros_like(x), grads
+
+
+l1_sliding_distance_grouped.defvjp(_grouped_fwd_rule, _grouped_bwd_rule)

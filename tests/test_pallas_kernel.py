@@ -127,3 +127,56 @@ def test_pallas_random_shape_sweep(rng):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-6,
                                    err_msg=f"bwd {(b, n, c, t, l)}")
+
+
+def test_grouped_bank_launch_matches_per_bank():
+    """l1_sliding_distance_grouped (one fused launch) is bit-identical to
+    per-bank l1_sliding_distance calls, fwd and grad (VERDICT r2 item 3 —
+    kept opt-in: measured slower at CHISCO shapes, docs/BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    from sie_tpu.ops.pallas.shapelet_pallas import (
+        l1_sliding_distance, l1_sliding_distance_grouped)
+
+    rng = np.random.default_rng(11)
+    B, C, T = 3, 7, 60
+    banks = tuple(jnp.asarray(rng.normal(size=(n, C, L)), jnp.float32)
+                  for n, L in ((4, 5), (3, 11), (2, 23)))
+    x = jnp.asarray(rng.normal(size=(B, C, T)), jnp.float32)
+    outs = l1_sliding_distance_grouped(x, banks)
+    for o, s in zip(outs, banks):
+        ref = l1_sliding_distance(x, s, 1)
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(ref))
+    gg = jax.grad(lambda bs: sum(jnp.sum(jnp.sin(d))
+                                 for d in l1_sliding_distance_grouped(x, bs)))(banks)
+    gr = jax.grad(lambda bs: sum(jnp.sum(jnp.sin(l1_sliding_distance(x, s, 1)))
+                                 for s in bs))(banks)
+    for a, b in zip(gg, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fuse_short_banks_model_path():
+    """SBM with cfg.fuse_short_banks=True (grouped launch) matches the
+    default per-bank path end to end through predicates."""
+    import jax
+    import jax.numpy as jnp
+    from sie_tpu.config import Config
+    from sie_tpu.models.sbm import ShapeBottleneckModel
+
+    rng = np.random.default_rng(12)
+    kw = dict(data="UEA", dataset="toy", model="SBM", seq_len=40, enc_in=5,
+              num_class=2, num_shapelet=2, shapelet_lengths=(0.1, 0.3),
+              amp=False, use_pallas=True, seed=0)
+    x = jnp.asarray(rng.normal(size=(4, 40, 5)), jnp.float32)
+    import os
+    os.environ["SIE_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        m0 = ShapeBottleneckModel(Config(**kw))
+        m1 = ShapeBottleneckModel(Config(fuse_short_banks=True, **kw))
+        v = m0.init(jax.random.key(0), x)
+        out0, info0 = m0.apply(v, x)
+        out1, info1 = m1.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+        np.testing.assert_array_equal(np.asarray(info0.d), np.asarray(info1.d))
+    finally:
+        os.environ.pop("SIE_TPU_PALLAS_INTERPRET", None)
