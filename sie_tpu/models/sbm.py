@@ -39,42 +39,6 @@ from sie_tpu.ops.shapelet import (
 )
 
 
-def _mesh_aware_distance(xn: jax.Array, bank: jax.Array, stride: int,
-                         metric: str, use_pallas: bool) -> jax.Array:
-    """Sliding distance, explicitly shard_mapped over the active mesh.
-
-    The op is embarrassingly parallel over the batch ('data' axis) and the
-    shapelet index ('model' axis) — no collectives. GSPMD cannot partition a
-    pallas_call (it is an opaque custom call and would be replicated with
-    all-gathered inputs), so when the Trainer has a mesh active we map shards
-    explicitly; each shard runs the kernel on its (B/dp, n/mp) block.
-    """
-    from sie_tpu.parallel.mesh import active_mesh
-    mesh = active_mesh()
-    if mesh is not None:
-        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-        data_ax = ("data" if sizes.get("data", 1) > 1
-                   and xn.shape[0] % sizes["data"] == 0 else None)
-        model_ax = ("model" if sizes.get("model", 1) > 1
-                    and bank.shape[0] % sizes["model"] == 0 else None)
-        if data_ax or model_ax:
-            try:
-                from jax import shard_map
-                no_check = {"check_vma": False}
-            except ImportError:  # older jax: experimental API, check_rep kwarg
-                from jax.experimental.shard_map import shard_map
-                no_check = {"check_rep": False}
-            from jax.sharding import PartitionSpec as P
-            fn = lambda xs, bs: sliding_distance(xs, bs, stride, metric,
-                                                 use_pallas=use_pallas)
-            return shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(data_ax, None, None), P(model_ax, None, None)),
-                out_specs=P(data_ax, model_ax, None, None),
-                **no_check)(xn, bank)
-    return sliding_distance(xn, bank, stride, metric, use_pallas=use_pallas)
-
-
 def torch_linear_init(in_features: int):
     """U(-1/sqrt(in), 1/sqrt(in)) — matches torch nn.Linear default init."""
     bound = 1.0 / math.sqrt(in_features)
@@ -203,10 +167,15 @@ class ShapeBottleneckModel(nn.Module):
             outs = l1_sliding_distance_grouped(
                 xn, tuple(self.banks[i] for i in fuse_idx))
             per_bank.update(zip(fuse_idx, outs))
+        # No mesh plumbing needed: the Pallas op carries custom_partitioning
+        # rules (shapelet_pallas.py), so GSPMD shards it over batch ('data')
+        # and shapelet ('model') axes like any other op — the round-2
+        # Trainer-owned contextvar + shard_map seam is gone.
         for i, bank in enumerate(self.banks):
             if i not in per_bank:
-                per_bank[i] = _mesh_aware_distance(
-                    xn, bank, self.strides[i], metric, cfg.use_pallas)
+                per_bank[i] = sliding_distance(
+                    xn, bank, self.strides[i], metric,
+                    use_pallas=cfg.use_pallas)
         return [per_bank[i] for i in range(len(self.banks))]
 
     def predicates(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:

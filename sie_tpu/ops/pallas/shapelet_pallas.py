@@ -148,7 +148,7 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
     # VMEM-resident across the whole sequential grid and every program adds
     # into it. x8_ref: VMEM scratch (8, T8, C) of shifted x copies so every
     # per-window read of an (LS, C) l-subtile is sublane-aligned.
-    # The 1/L normalization is folded into g host-side (_l1_bwd_rule).
+    # The 1/L normalization is folded into g host-side (_l1_bwd_impl).
     n, l_pad, c = s_ref.shape
     wt = g_ref.shape[2]
     b = pl.program_id(0)
@@ -204,11 +204,99 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# --------------------------------------------------------------------------
+# GSPMD integration (VERDICT r2 item 5): a pallas_call is an opaque custom
+# call that GSPMD would replicate with all-gathered inputs. custom_partitioning
+# teaches the partitioner the op's parallel structure instead — batch rows
+# ('B') and shapelet rows ('n') are embarrassingly parallel; T/L/W/C must be
+# replicated (windows span T; C sits on vector lanes). The backward op's 'B'
+# is a REDUCTION factor: each data shard computes a partial ds and lower_fn
+# psums over the batch mesh axes (Shardy does NOT insert that all-reduce for
+# a partition callback — verified empirically: omitting it gives per-shard
+# partial grads). This replaces the Trainer-set contextvar + explicit
+# shard_map region that round 2 used (`_mesh_aware_distance`, deleted).
+# --------------------------------------------------------------------------
+
+def _dim_axes(spec, dim):
+    """Mesh axis names a PartitionSpec shards dimension `dim` over."""
+    if spec is None or len(spec) <= dim or spec[dim] is None:
+        return ()
+    ax = spec[dim]
+    return tuple(ax) if isinstance(ax, tuple) else (ax,)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(stride: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f = custom_partitioning(lambda x, s: _l1_fwd(x, s, stride, interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(x, s):
+            return _l1_fwd(x, s, stride, interpret)
+        return (mesh, lower_fn, result_shape.sharding,
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        xs = arg_shapes[0].sharding.spec
+        ss = arg_shapes[1].sharding.spec
+        return NamedSharding(mesh, P(xs[0] if len(xs) else None,
+                                     ss[0] if len(ss) else None, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="B C T, n C L -> B n C W",
+        need_replication_factors=("C", "T", "L", "W"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(stride: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(x, s, g):
+        _, grad_s = _l1_bwd_impl(x, s, g, stride, interpret)
+        return grad_s
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_axes = _dim_axes(arg_shapes[2].sharding.spec, 0)
+
+        def lower_fn(x, s, g):
+            grad = impl(x, s, g)
+            for ax in b_axes:           # sum the per-data-shard partials
+                grad = jax.lax.psum(grad, ax)
+            return grad
+        return (mesh, lower_fn, result_shape.sharding,
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        ss = arg_shapes[1].sharding.spec
+        return NamedSharding(mesh, P(ss[0] if len(ss) else None, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="B C T, n C L, B n C W -> n C L",
+        reduction_factors=("B",),
+        need_replication_factors=("C", "T", "L", "W"),
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def l1_sliding_distance(x: jax.Array, s: jax.Array, stride: int = 1,
                         interpret: bool | None = None) -> jax.Array:
-    """x (B, C, T), s (n, C, L) -> d (B, n, C, W) float32."""
-    return _l1_fwd(x, s, stride, interpret)
+    """x (B, C, T), s (n, C, L) -> d (B, n, C, W) float32. GSPMD-partitionable
+    (custom_partitioning): shard x over B and/or s over n freely."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _fwd_cp(stride, interpret)(x, s)
 
 
 def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
@@ -268,13 +356,20 @@ def _l1_fwd(x, s, stride, interpret):
 
 
 def _l1_fwd_rule(x, s, stride, interpret):
-    return _l1_fwd(x, s, stride, interpret), (x, s)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _fwd_cp(stride, interpret)(x, s), (x, s)
 
 
 def _l1_bwd_rule(stride, interpret, res, g):
     x, s = res
     if interpret is None:
         interpret = _interpret_default()
+    grad_s = _bwd_cp(stride, interpret)(x, s, g)
+    return jnp.zeros_like(x), grad_s
+
+
+def _l1_bwd_impl(x, s, g, stride, interpret):
     b, c, t = x.shape
     n, _, l = s.shape
     w = g.shape[-1]

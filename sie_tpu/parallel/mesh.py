@@ -30,28 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sie_tpu.config import Config
 
 
-_ACTIVE_MESH: "contextvars.ContextVar[Optional[Mesh]]"
-import contextvars  # noqa: E402
-import contextlib  # noqa: E402
-
-_ACTIVE_MESH = contextvars.ContextVar("sie_tpu_active_mesh", default=None)
-
-
-def active_mesh() -> Optional[Mesh]:
-    """The mesh the current jitted step is being traced/executed under (set by
-    the Trainer). Lets mesh-agnostic modules opt into explicit shard_map
-    regions (e.g. the Pallas shapelet op, which GSPMD cannot partition
-    automatically)."""
-    return _ACTIVE_MESH.get()
-
-
-@contextlib.contextmanager
-def mesh_context(mesh: Optional[Mesh]):
-    token = _ACTIVE_MESH.set(mesh)
-    try:
-        yield
-    finally:
-        _ACTIVE_MESH.reset(token)
+# NOTE (r3): the round-2 contextvar seam (active_mesh/mesh_context) that let
+# the Trainer signal an ambient mesh to the Pallas shapelet op is GONE — the
+# op now carries custom_partitioning rules (ops/pallas/shapelet_pallas.py),
+# so GSPMD partitions it from the input shardings alone and `model.apply`
+# with sharded params works outside any Trainer-owned context.
 
 
 def make_mesh(cfg: Config, devices: Optional[Sequence[jax.Device]] = None

@@ -31,7 +31,6 @@ from flax.core import FrozenDict
 from sie_tpu.config import Config
 from sie_tpu.models import build_model
 from sie_tpu.models.sbm import clamp_sbm_weights
-from sie_tpu.parallel.mesh import mesh_context
 
 
 def compute_beta(epoch: int, max_epoch: int, schedule: str = "cosine") -> float:
@@ -156,16 +155,14 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         batch = self._device_batch(batch)
-        with mesh_context(self.mesh):
-            return self._train_step(state, batch,
-                                    jnp.asarray(beta, jnp.float32))
+        return self._train_step(state, batch,
+                                jnp.asarray(beta, jnp.float32))
 
     def eval_step(self, state: TrainState, batch, gating_value=None):
         if gating_value not in self._eval_steps:
             self._eval_steps[gating_value] = self._build_eval_step(gating_value)
         batch = self._device_batch(batch)
-        with mesh_context(self.mesh):
-            return self._eval_steps[gating_value](state, batch)
+        return self._eval_steps[gating_value](state, batch)
 
     def _device_batch(self, batch):
         batch = tuple(jnp.asarray(b) for b in batch)
@@ -230,10 +227,9 @@ class Trainer:
                 return self._update(state, (x, y, mask, w), beta)
 
             self._train_step_idx = jax.jit(step, donate_argnums=(0,))
-        with mesh_context(self.mesh):
-            return self._train_step_idx(state, dev_data, jnp.asarray(idx),
-                                        jnp.asarray(w),
-                                        jnp.asarray(beta, jnp.float32))
+        return self._train_step_idx(state, dev_data, jnp.asarray(idx),
+                                    jnp.asarray(w),
+                                    jnp.asarray(beta, jnp.float32))
 
     # ---- epoch-staged steps ----------------------------------------------
     # Through the axon relay each host->device buffer upload costs ~2 ms of
@@ -264,8 +260,7 @@ class Trainer:
 
             self._train_step_staged = jax.jit(step, donate_argnums=(0,))
         ia, wa, beta = staged
-        with mesh_context(self.mesh):
-            return self._train_step_staged(state, dev_data, ia, wa, beta, k)
+        return self._train_step_staged(state, dev_data, ia, wa, beta, k)
 
     def eval_step_staged(self, state: TrainState, dev_data, staged, k: int,
                          gating_value=None):
@@ -282,8 +277,7 @@ class Trainer:
 
             self._eval_steps_staged[gating_value] = jax.jit(step)
         ia = staged[0]
-        with mesh_context(self.mesh):
-            return self._eval_steps_staged[gating_value](state, dev_data, ia, k)
+        return self._eval_steps_staged[gating_value](state, dev_data, ia, k)
 
     def eval_step_indexed(self, state: TrainState, dev_data, idx,
                           gating_value=None):
@@ -298,6 +292,5 @@ class Trainer:
                 return logits, info
 
             self._eval_steps_idx[gating_value] = jax.jit(step)
-        with mesh_context(self.mesh):
-            return self._eval_steps_idx[gating_value](state, dev_data,
-                                                      jnp.asarray(idx))
+        return self._eval_steps_idx[gating_value](state, dev_data,
+                                                  jnp.asarray(idx))
