@@ -84,35 +84,50 @@ def resolve_subjects(cfg: Config) -> List[str]:
     return found
 
 
+def _read_epochs_any(path: str):
+    """One epochs file -> (data (n_ep, C, T) volts with EEG picks applied,
+    per-epoch word labels). Prefers MNE when installed (exactly the
+    reference's `mne.read_epochs` path, eeg_processor.py:1100); otherwise
+    uses the self-contained FIFF reader (`sie_tpu.data.fif`) — this image has
+    no MNE, so ingestion runs on our own format implementation."""
+    try:
+        import mne
+    except ImportError:
+        mne = None
+    if mne is not None:
+        epochs = mne.read_epochs(path, preload=True, verbose="ERROR")
+        words = ["unknown"] * len(epochs)
+        md = getattr(epochs, "metadata", None)
+        if md is not None and "Word" in md.columns:
+            words = [str(w).strip() if w == w else "unknown"
+                     for w in md["Word"].tolist()]
+        picks = mne.pick_types(epochs.info, eeg=True)
+        return epochs.get_data()[:, picks, :], words
+    from sie_tpu.data.fif import read_epochs_fif
+    epochs = read_epochs_fif(path)
+    words = ["unknown"] * len(epochs)
+    if epochs.metadata is not None:
+        words = [str(rec.get("Word", "unknown")).strip() or "unknown"
+                 for rec in epochs.metadata]
+    return epochs.get_data()[:, epochs.pick_eeg(), :], words
+
+
 def read_fif_trials(data_dir: str, subject_ids: Sequence[str],
                     max_files: int, task_type: str = "imagine"):
-    """MNE-backed reading of CHISCO epochs (reference eeg_processor.py:1084-1160).
+    """CHISCO epochs reading (reference eeg_processor.py:1084-1160): per
+    subject, *imagine*.fif[.gz] files capped at max_files, EEG picks, per-
+    epoch 'Word' labels from the metadata.
 
-    Returns (raw list of (C, T) float64 volts, text labels, subject index array).
-    Raises ImportError with guidance when MNE is unavailable.
+    Returns (raw list of (C, T) float64 volts, text labels, subject index
+    array). Uses MNE when present, else the built-in FIFF reader.
     """
-    try:
-        import mne  # noqa: F401
-    except ImportError as e:  # pragma: no cover - mne not in this image
-        raise ImportError(
-            "MNE is required to read .fif archives. Either install mne, point "
-            "`data_root` at a preprocessed .npz cache (see cache_trials_npz), "
-            "or use data='EEG3' with synthetic=True for smoke runs.") from e
-
     raws, labels, subjects = [], [], []
     for si, sub in enumerate(subject_ids):
         sub_dir = os.path.join(data_dir, sub)
         files = find_imagine_fif_files(
             sub_dir if os.path.isdir(sub_dir) else data_dir, task_type)
         for path in files[:max_files]:
-            epochs = mne.read_epochs(path, preload=True, verbose="ERROR")
-            words = ["unknown"] * len(epochs)
-            md = getattr(epochs, "metadata", None)
-            if md is not None and "Word" in md.columns:
-                words = [str(w).strip() if w == w else "unknown"
-                         for w in md["Word"].tolist()]
-            picks = mne.pick_types(epochs.info, eeg=True)
-            data = epochs.get_data()[:, picks, :]  # (n_ep, C, T) volts
+            data, words = _read_epochs_any(path)
             for ti in range(data.shape[0]):
                 raws.append(data[ti])
                 labels.append(words[ti] if ti < len(words) else "unknown")
