@@ -91,3 +91,42 @@ UEA_30_DATASETS: Tuple[str, ...] = (
     "SelfRegulationSCP1", "SelfRegulationSCP2", "SpokenArabicDigits",
     "StandWalkJump", "UWaveGestureLibrary",
 )
+
+# Published archive metadata (dims, series length, classes) per dataset —
+# from the UEA multivariate archive paper (Bagnall et al. 2018) / timeseries
+# classification.com tables. Variable-length sets (CharacterTrajectories,
+# JapaneseVowels, SpokenArabicDigits, InsectWingbeat) list the max length the
+# collate pads to. Used by the shape-coverage sweep
+# (scripts/uea_shape_sweep.py) to certify every archive shape compiles.
+UEA_DATASET_SHAPES = {
+    "ArticularyWordRecognition": (9, 144, 25),
+    "AtrialFibrillation": (2, 640, 3),
+    "BasicMotions": (6, 100, 4),
+    "CharacterTrajectories": (3, 182, 20),
+    "Cricket": (6, 1197, 12),
+    "DuckDuckGeese": (1345, 270, 5),
+    "EigenWorms": (6, 17984, 5),
+    "Epilepsy": (3, 206, 4),
+    "ERing": (4, 65, 6),
+    "EthanolConcentration": (3, 1751, 4),
+    "FaceDetection": (144, 62, 2),
+    "FingerMovements": (28, 50, 2),
+    "HandMovementDirection": (10, 400, 4),
+    "Handwriting": (3, 152, 26),
+    "Heartbeat": (61, 405, 2),
+    "InsectWingbeat": (200, 30, 10),
+    "JapaneseVowels": (12, 29, 9),
+    "Libras": (2, 45, 15),
+    "LSST": (6, 36, 14),
+    "MotorImagery": (64, 3000, 2),
+    "NATOPS": (24, 51, 6),
+    "PEMS-SF": (963, 144, 7),
+    "PenDigits": (2, 8, 10),
+    "PhonemeSpectra": (11, 217, 39),
+    "RacketSports": (6, 30, 4),
+    "SelfRegulationSCP1": (6, 896, 2),
+    "SelfRegulationSCP2": (7, 1152, 2),
+    "SpokenArabicDigits": (13, 93, 10),
+    "StandWalkJump": (4, 2500, 3),
+    "UWaveGestureLibrary": (3, 315, 8),
+}

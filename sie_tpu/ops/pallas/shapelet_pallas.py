@@ -158,10 +158,18 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
     ck = _TAPS
 
     if stride == 1:
-        # x8[k] starts at x[w0 + k]: window w0+wb+k at tap l0+i reads
-        # x8[k, l0 + wb : +ls] — aligned (l0, wb multiples of 8).
-        for k in range(_L_CHUNK):
-            x8_ref[k] = x_ref[0, pl.ds(w0 + k, t8), :]
+        # STATIC-offset fill of the whole padded series, once per batch row
+        # (j == 0; j runs innermost). A w0-shifted per-program fill
+        # (pl.ds(w0 + k, t8)) crashes the Mosaic compiler whenever C spans
+        # more than one 128-lane tile (FaceDetection C=144, PEMS-SF 963,
+        # DuckDuckGeese 1345 — found by the r3 shape sweep; bisected to the
+        # dynamic-offset multi-lane sublane copy, scripts/uea_shape_sweep.py).
+        # Window reads below add w0 instead — dynamic READS at multi-lane C
+        # compile fine (the forward kernel always did exactly that).
+        @pl.when(j == 0)
+        def _():
+            for k in range(_L_CHUNK):
+                x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
 
     @pl.when((b == 0) & (j == 0))
     def _():
@@ -183,7 +191,8 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
                 # and measured slower anyway.)
                 gk = jnp.where(w0 + wb + k < w_total, gch[:, k], 0.0)
                 if stride == 1:
-                    xs = x8_ref[k, pl.ds(l0 + wb, ls), :]  # aligned
+                    # aligned: w0, l0, wb all multiples of 8
+                    xs = x8_ref[k, pl.ds(w0 + l0 + wb, ls), :]
                 else:  # interpret-only (compiled path is stride-1)
                     xs = x_ref[0, pl.ds((w0 + wb + k) * stride + l0, ls), :]
                 accs = tuple(
@@ -382,7 +391,9 @@ def _l1_bwd_impl(x, s, g, stride, interpret):
     # 1/L folded into g here (XLA fuses it into the transpose pass)
     gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3) * (1.0 / l)  # (B, n, W, C)
     t_pad = xt.shape[1]
-    t8 = wt * stride + l_pad + _L_CHUNK
+    # full-series scratch: the static j==0 fill covers every window tile's
+    # reads (see _bwd_kernel's multi-lane-C note)
+    t8 = nwt * wt * stride + l_pad + _L_CHUNK
     grad_st = pl.pallas_call(
         functools.partial(_bwd_kernel, stride=stride, w_total=w, ls=ls),
         out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
@@ -506,8 +517,12 @@ def _bwd_kernel_grouped(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
     t8 = x8_ref.shape[1]
     ck = _TAPS
 
-    for k in range(_L_CHUNK):
-        x8_ref[k] = x_ref[0, pl.ds(w0 + k, t8), :]
+    # static-offset full-series fill per batch row (dynamic-offset fills
+    # crash Mosaic at multi-lane C — see _bwd_kernel); reads add w0 below
+    @pl.when(j == 0)
+    def _():
+        for k in range(_L_CHUNK):
+            x8_ref[k] = x_ref[0, pl.ds(k, t8), :]
 
     @pl.when((b == 0) & (j == 0))
     def _():
@@ -531,7 +546,7 @@ def _bwd_kernel_grouped(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
             gch = g_ref[0, ns:, pl.ds(wb, ck), :]          # (N-ns, ck, C)
             for k in range(ck):
                 gk = jnp.where(w0 + wb + k < w_total, gch[:, k], 0.0)
-                xs = x8_ref[k, pl.ds(l0 + wb, ls), :]
+                xs = x8_ref[k, pl.ds(w0 + l0 + wb, ls), :]
                 accs = tuple(
                     a + jnp.where(s_tile[i] > xs, gk[i], -gk[i])
                     for i, a in enumerate(accs))
@@ -638,7 +653,7 @@ def _grouped_bwd_rule(interpret, res, gs):
                 ((0, 0), (0, 0), (0, w_max - g.shape[-1]), (0, 0)))
         for g, l_g in zip(gs, lengths)], axis=1)
     t_pad = xt.shape[1]
-    t8 = wt + l_pad + _L_CHUNK
+    t8 = nwt * wt + l_pad + _L_CHUNK
     grad_st = pl.pallas_call(
         functools.partial(_bwd_kernel_grouped, w_total=w_max, ls=ls,
                           counts=counts, lengths=lengths),
