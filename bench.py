@@ -192,15 +192,10 @@ def main():
         "step_ms": round(1000.0 * BATCH / ours, 2),
         "batch": BATCH,
         "baseline_kind": "torch-CPU reference-faithful IGN step, batch 4",
-        "phase_breakdown_ms": {
-            # measured via scripts/bench_kernel.py on this chip (r3); the
-            # derivations live in docs/BENCH_NOTES.md
-            "shapelet_kernels_fwd_bwd": 90.0,
-            "transformer_dnn_step": 43.8,
-            "note": "full step 135.7 ms r3 (150.1 r2); shapelet kernel at "
-                    "the VPU ALU roofline (4.16 TF/s), attention kernel at "
-                    "the dk=64 matmul wall (see BENCH_NOTES r3)",
-        },
+        # per-phase decomposition: run `scripts/bench_kernel.py {fwd,fwdbwd,
+        # dnn_step,step,banks}` (one mode per process); measured history and
+        # roofline derivations live in docs/BENCH_NOTES.md — not duplicated
+        # here so this per-run artifact never reports stale constants.
     }
     try:
         extra["eegcnn_train_samples_per_sec"] = round(bench_eegcnn(), 2)

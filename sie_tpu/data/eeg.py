@@ -107,8 +107,13 @@ def _read_epochs_any(path: str):
     epochs = read_epochs_fif(path)
     words = ["unknown"] * len(epochs)
     if epochs.metadata is not None:
-        words = [str(rec.get("Word", "unknown")).strip() or "unknown"
-                 for rec in epochs.metadata]
+        def norm(w):
+            # JSON null / NaN -> "unknown", matching the MNE branch's
+            # NaN handling (w == w check) rather than the strings "None"/"nan"
+            if w is None or (isinstance(w, float) and w != w):
+                return "unknown"
+            return str(w).strip() or "unknown"
+        words = [norm(rec.get("Word")) for rec in epochs.metadata]
     return epochs.get_data()[:, epochs.pick_eeg(), :], words
 
 

@@ -146,6 +146,7 @@ def write_epochs_fif(path: str, data: np.ndarray, ch_names: Sequence[str],
 def _iter_tags(buf: bytes):
     pos, n = 0, len(buf)
     while pos + 16 <= n:
+        tag_start = pos
         kind, dtype, size, next_ = _TAG.unpack_from(buf, pos)
         pos += 16
         if size < 0 or pos + size > n:
@@ -153,6 +154,10 @@ def _iter_tags(buf: bytes):
         yield kind, dtype, buf[pos:pos + size]
         pos += size
         if next_ > 0:            # explicit jump (rare; sequential files use 0)
+            if next_ <= tag_start:   # corrupt backwards pointer: would loop
+                raise ValueError(
+                    f"corrupt FIFF tag chain: next={next_} does not advance "
+                    f"past tag at {tag_start}")
             pos = next_
         elif next_ == -1:        # end of tag list
             break
@@ -240,8 +245,9 @@ def read_epochs_fif(path: str) -> EpochsFile:
     if epochs.ndim == 2:                          # single epoch written flat
         epochs = epochs[None]
     n_ch = epochs.shape[1]
-    if nchan is not None and nchan != n_ch and len(chs) == n_ch:
-        nchan = n_ch
+    if nchan is not None and nchan != n_ch:
+        raise ValueError(f"FIFF_NCHAN={nchan} contradicts the epochs tensor's "
+                         f"{n_ch} channels in {path}")
     names = [c[0] for c in chs] or [f"ch{i}" for i in range(n_ch)]
     kinds = [c[1] for c in chs] or [FIFFV_EEG_CH] * n_ch
     cals = np.asarray([c[2] for c in chs] or [1.0] * n_ch, np.float64)

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _score_block(q, k, scale, t_real, col0=0):
+def _score_block(q, k, scale, t_real):
     """(BQ, T_pad) masked, scaled scores for one q block. bf16 inputs round
     the raw scores to bf16 (torch autocast bmm parity) before the f32
     softmax."""
@@ -133,20 +133,14 @@ _VMEM_BUDGET = 8 * 1024 * 1024  # for the live (BQ, T_pad) f32 intermediates
 
 def _pick_bq(t_pad: int, n_live_f32: int) -> int:
     """Largest divisor of t_pad (multiple of 8) whose n_live_f32 (BQ, T_pad)
-    f32 intermediates fit the VMEM budget. Big blocks matter: at the CHISCO
-    shape a BQ=128 grid is 3584 programs and per-program overhead dominated
-    the kernel (7.8 ms fwd vs ~1.5 at full-row blocks)."""
-    best = 8
-    for k in range(1, t_pad // 8 + 1):
-        if t_pad % k:
-            continue
-        bq = t_pad // k
-        if bq % 8:
-            continue
-        if n_live_f32 * bq * t_pad * 4 <= _VMEM_BUDGET:
-            return bq
-        best = 8
-    return best
+    f32 intermediates fit the VMEM budget; 8 if none fits. Big blocks
+    matter: at the CHISCO shape a BQ=128 grid is 3584 programs and
+    per-program overhead dominated the kernel (7.8 ms fwd vs ~5.5 at
+    full-row blocks)."""
+    return next((t_pad // k for k in range(1, t_pad // 8 + 1)
+                 if t_pad % k == 0 and (t_pad // k) % 8 == 0
+                 and n_live_f32 * (t_pad // k) * t_pad * 4 <= _VMEM_BUDGET),
+                8)
 
 
 def _pad_t(x, t_pad, dk_pad=None):
@@ -169,18 +163,90 @@ def _specs(bh, t_pad, dk, bq):
     return seed_spec, qs, ks
 
 
+# --------------------------------------------------------------------------
+# GSPMD integration: like the shapelet kernel (shapelet_pallas.py), a bare
+# pallas_call would be replicated with all-gathered inputs on a mesh. The op
+# is embarrassingly parallel over the fused batch*heads dim (factor 'B'): a
+# data-sharded model batch maps straight onto it after the layer's
+# (B, T, H, dk) -> (B*H, T, dk) fold, so each shard runs the kernel on its
+# rows; T and dk must be replicated (full key rows in VMEM). The backward
+# has no cross-shard reductions — dq/dk/dv shard exactly like q/k/v.
+# NOTE: the dropout hash mask is keyed on the LOCAL program id, so with a
+# sharded B the masks differ from the unsharded trace (different
+# per-program bh indices) — statistically identical Bernoulli(1-rate)
+# dropout, not bitwise-identical to single-device (fwd/bwd still agree
+# because both run under the same sharding).
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _attn_fwd_cp(scale: float, rate: float, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f = custom_partitioning(
+        lambda q, k, v, seed: _attn_fwd_impl(q, k, v, seed, scale, rate,
+                                             interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, k, v, seed):
+            return _attn_fwd_impl(q, k, v, seed, scale, rate, interpret)
+        return (mesh, lower_fn, result_shape.sharding,
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        qs = arg_shapes[0].sharding.spec
+        return NamedSharding(mesh, P(qs[0] if len(qs) else None, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="B T D, B T D, B T D, z -> B T D",
+        need_replication_factors=("T", "D", "z"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _attn_bwd_cp(scale: float, rate: float, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k, v, seed, g):
+        return _attn_bwd_impl(q, k, v, seed, g, scale, rate, interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        return (mesh, impl, tuple(r.sharding for r in result_shape),
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        qs = arg_shapes[0].sharding.spec
+        s = NamedSharding(mesh, P(qs[0] if len(qs) else None, None, None))
+        return (s, s, s)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="B T D, B T D, B T D, z, B T D -> B T D, B T D, B T D",
+        need_replication_factors=("T", "D", "z"),
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     seed: jax.Array, scale: float, rate: float = 0.0,
                     interpret: bool | None = None) -> jax.Array:
     """q/k/v: (BH, T, dk) -> (BH, T, dk). Exact softmax(scale*QK^T)V with
-    optional attention dropout. seed: (1,) int32 (ignored when rate == 0)."""
-    return _attn_fwd(q, k, v, seed, scale, rate, interpret)
-
-
-def _attn_fwd(q, k, v, seed, scale, rate, interpret):
+    optional attention dropout. seed: (1,) int32 (ignored when rate == 0).
+    GSPMD-partitionable over the leading (batch*heads) dim."""
     if interpret is None:
         interpret = _interpret_default()
+    return _attn_fwd_cp(scale, rate, interpret)(q, k, v, seed)
+
+
+def _attn_fwd_impl(q, k, v, seed, scale, rate, interpret):
     bh, t, dk = q.shape
     t_pad = -(-t // 128) * 128 if t > 128 else -(-t // 8) * 8
     bq = _pick_bq(t_pad, n_live_f32=2)          # live: s, a
@@ -205,13 +271,23 @@ def _attn_fwd(q, k, v, seed, scale, rate, interpret):
 
 
 def _fwd_rule(q, k, v, seed, scale, rate, interpret):
-    return _attn_fwd(q, k, v, seed, scale, rate, interpret), (q, k, v, seed)
+    if interpret is None:
+        interpret = _interpret_default()
+    return (_attn_fwd_cp(scale, rate, interpret)(q, k, v, seed),
+            (q, k, v, seed))
 
 
 def _bwd_rule(scale, rate, interpret, res, g):
     q, k, v, seed = res
     if interpret is None:
         interpret = _interpret_default()
+    dq, dkk, dv = _attn_bwd_cp(scale, rate, interpret)(q, k, v, seed, g)
+    import numpy as np
+    seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)  # int primal
+    return dq, dkk, dv, seed_ct
+
+
+def _attn_bwd_impl(q, k, v, seed, g, scale, rate, interpret):
     bh, t, dk = q.shape
     t_pad = -(-t // 128) * 128 if t > 128 else -(-t // 8) * 8
     bq = _pick_bq(t_pad, n_live_f32=5)          # live: s, a, dA, tmp, dS
@@ -234,10 +310,8 @@ def _bwd_rule(scale, rate, interpret, res, g):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, gp)
-    import numpy as np
-    seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)  # int primal
     return (dq[:, :t, :dk], dkk[:, :t, :dk].astype(k.dtype),
-            dv[:, :t, :dk].astype(v.dtype), seed_ct)
+            dv[:, :t, :dk].astype(v.dtype))
 
 
 fused_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -232,7 +232,7 @@ def _l1_polyphase(x: jax.Array, s: jax.Array, k: int, stride1_fn) -> jax.Array:
 def _pallas_available() -> bool:
     """The compiled kernel needs a TPU; SIE_TPU_PALLAS_INTERPRET=1 also routes
     use_pallas=True through the kernel in Pallas interpret mode on any backend
-    (used by the multichip dryrun to certify the shard_map+kernel path)."""
+    (used by the multichip dryrun to certify the GSPMD-partitioned kernel path)."""
     import os
     if os.environ.get("SIE_TPU_PALLAS_INTERPRET") == "1":
         return True

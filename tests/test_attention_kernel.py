@@ -132,3 +132,31 @@ def test_padded_tail_is_exact():
     gkr = jax.grad(lambda k: jnp.sum(naive_attention(q, k, v, scale) ** 2))(k)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gkr),
                                atol=5e-6, rtol=1e-4)
+
+
+def test_gspmd_partitioning(rng):
+    """Sharded (B*H) inputs under plain jit: the kernel must partition over
+    the leading dim (not replicate+gather) and match the unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    bh, t, dk = 8, 40, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    seed = jnp.zeros((1,), jnp.int32)
+    want = fused_attention(q, k, v, seed, 0.25, 0.0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qd, kd, vd = (jax.device_put(z, sh) for z in (q, k, v))
+    got = jax.jit(lambda a, b, c: fused_attention(a, b, c, seed, 0.25, 0.0)
+                  )(qd, kd, vd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
+    assert got.sharding.spec[0] == "data", got.sharding
+    # gradients partition too (no cross-shard reductions for this op)
+    gd = jax.jit(jax.grad(lambda a: jnp.sum(
+        fused_attention(a, kd, vd, seed, 0.25, 0.0) ** 2)))(qd)
+    gw = jax.grad(lambda a: jnp.sum(
+        fused_attention(a, k, v, seed, 0.25, 0.0) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gw),
+                               atol=1e-5, rtol=1e-4)
