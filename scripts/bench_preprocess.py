@@ -5,8 +5,11 @@ throughput). Prints trials/sec for both and the speedup."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
