@@ -26,8 +26,6 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # covers: baseline, widest-C lane budgets (11 and 8 lane tiles), 2-lane C,

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import gzip
 import json
-import os
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -179,11 +178,10 @@ class EpochsFile:
     uses: .get_data(), .metadata (list of per-epoch dicts or None),
     .ch_names, .ch_kinds, .sfreq, len()."""
 
-    def __init__(self, data, ch_names, ch_kinds, cals, sfreq, metadata):
+    def __init__(self, data, ch_names, ch_kinds, sfreq, metadata):
         self._data = data
         self.ch_names = ch_names
         self.ch_kinds = ch_kinds
-        self._cals = cals
         self.sfreq = sfreq
         self.metadata = metadata
 
@@ -254,5 +252,5 @@ def read_epochs_fif(path: str) -> EpochsFile:
     if len(names) != n_ch:
         raise ValueError(f"ch_info count {len(names)} != data channels {n_ch}")
     epochs = epochs * cals[None, :, None]         # MNE read-side calibration
-    return EpochsFile(epochs, names, kinds, cals,
+    return EpochsFile(epochs, names, kinds,
                       float(sfreq) if sfreq is not None else 0.0, metadata)
