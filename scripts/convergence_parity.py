@@ -35,6 +35,10 @@ CONFIGS = [
     # The early-stop mechanism itself is certified by the default configs.
     dict(model="SBM", dnn_type="FCN", kind="eeg3", noise=3.0,
          overrides=dict(num_shapelet=4, patience=999), seeds=(0, 1, 2, 3, 4)),
+    # the Gini-gated mixture in the same non-saturated regime
+    dict(model="InterpGN", dnn_type="FCN", kind="eeg3", noise=3.0,
+         overrides=dict(num_shapelet=4, patience=999,
+                        beta_schedule="cosine"), seeds=(0, 1, 2, 3, 4)),
 ]
 
 

@@ -95,6 +95,8 @@ class FullAttentionLayer(nn.Module):
     use_flash: bool = False
     use_fused: bool = False
     fused_max_len: int = 4096   # VMEM bound for the K/V-resident kernel
+    causal: bool = False        # TriangularCausalMask (mask_flag=True path,
+    # reference SelfAttention_Family.py:63-67 + utils/masking.py:4-13)
 
     def _flash(self, q, k, v, dk):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -122,13 +124,13 @@ class FullAttentionLayer(nn.Module):
         k = dense("key")(k_in).reshape(*k_in.shape[:2], h, dk)
         v = dense("value")(v_in).reshape(*v_in.shape[:2], h, dk)
 
-        use_flash = (self.use_flash
+        use_flash = (self.use_flash and not self.causal
                      and self.dtype == jnp.bfloat16
                      and (self.attention_dropout == 0.0 or not train)
                      and q_in.shape[1] == k_in.shape[1]
                      and dk in (64, 128, 256)
                      and jax.default_backend() == "tpu")
-        use_fused = (self.use_fused and not use_flash
+        use_fused = (self.use_fused and not use_flash and not self.causal
                      and q_in.shape[1] == k_in.shape[1]
                      and q_in.shape[1] <= self.fused_max_len
                      and dk <= 128)
@@ -159,8 +161,12 @@ class FullAttentionLayer(nn.Module):
             else:
                 scores = jnp.einsum("blhe,bshe->bhls", q, k,
                                     preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(scores.astype(jnp.float32) / math.sqrt(dk),
-                               axis=-1)
+            scores = scores.astype(jnp.float32)
+            if self.causal:
+                li = jax.lax.broadcasted_iota(jnp.int32, scores.shape[-2:], 0)
+                si = jax.lax.broadcasted_iota(jnp.int32, scores.shape[-2:], 1)
+                scores = jnp.where(si > li, -jnp.inf, scores)
+            a = jax.nn.softmax(scores / math.sqrt(dk), axis=-1)
             a = nn.Dropout(self.attention_dropout)(a, deterministic=not train)
             out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
@@ -219,6 +225,84 @@ class Encoder(nn.Module):
                              self.use_flash, self.use_fused,
                              name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
+
+
+class ConvLayer(nn.Module):
+    """Distil downsampling between encoder layers (reference
+    Transformer_EncDec.py:6-24): circular conv1d k=3 pad=2 -> BN -> ELU ->
+    maxpool k=3 s=2 p=1. Unused by the vanilla-Transformer config (the
+    reference builds its Encoder with conv_layers=None) — library surface."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):   # (B, T, D)
+        # torch circular padding=2 both sides, then VALID k=3 -> T+2 steps
+        xp = jnp.concatenate([x[:, -2:, :], x, x[:, :2, :]], axis=1)
+        h = nn.Conv(self.d_model, (3,), padding="VALID", dtype=self.dtype,
+                    name="downConv")(xp)
+        h = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm")(h)
+        h = jax.nn.elu(h)
+        # maxpool k=3 s=2 p=1 over time (torch default: -inf padding)
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)),
+                     constant_values=-jnp.inf)
+        return nn.max_pool(hp, window_shape=(3,), strides=(2,),
+                           padding="VALID")
+
+
+class DecoderLayer(nn.Module):
+    """Causal self-attention + cross-attention + conv1d FFN, post-norm
+    (reference Transformer_EncDec.py:83-112)."""
+
+    d_model: int
+    d_ff: int
+    n_heads: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cross, *, train: bool = False):
+        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        self_attn = FullAttentionLayer(
+            self.d_model, self.n_heads, attention_dropout=self.dropout,
+            dtype=self.dtype, causal=True, name="self_attention")
+        x = nn.LayerNorm(name="norm1")(x + drop(self_attn(x, x, x,
+                                                          train=train)))
+        cross_attn = FullAttentionLayer(
+            self.d_model, self.n_heads, attention_dropout=self.dropout,
+            dtype=self.dtype, name="cross_attention")
+        x = y = nn.LayerNorm(name="norm2")(
+            x + drop(cross_attn(x, cross, cross, train=train)))
+        act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
+        y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, dtype=self.dtype, name="conv2")(y))
+        return nn.LayerNorm(name="norm3")(x + y)
+
+
+class Decoder(nn.Module):
+    """Decoder stack + final LayerNorm + projection (reference
+    Transformer_EncDec.py:115-135)."""
+
+    d_model: int
+    d_ff: int
+    n_heads: int
+    d_layers: int
+    c_out: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cross, *, train: bool = False):
+        for i in range(self.d_layers):
+            x = DecoderLayer(self.d_model, self.d_ff, self.n_heads,
+                             self.dropout, self.activation, self.dtype,
+                             name=f"layer_{i}")(x, cross, train=train)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(self.c_out, dtype=self.dtype, name="projection")(x)
 
 
 class TorchTransformerEncoderLayer(nn.Module):
