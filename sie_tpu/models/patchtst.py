@@ -1,9 +1,10 @@
-"""PatchTST backbone, classification path (reference model/PatchTST.py:23-77, 181-208).
+"""PatchTST backbone (reference model/PatchTST.py:23-227).
 
 Channel-independent patching (len 16, stride 8, replication pad 8 at the end),
-shared Transformer encoder over patches, flatten head. The classification path
-starts with the Non-stationary-Transformer normalization (mean/ddof-0 std over
-time, eps 1e-5).
+shared Transformer encoder over patches. The classification path (the one the
+reference CLI can reach) uses a flatten-all head; the forecast / imputation /
+anomaly branches (reference :79-179, unreachable from the reference CLI) use
+the per-channel FlattenHead and NS-denormalization.
 """
 
 from __future__ import annotations
@@ -13,6 +14,7 @@ from flax import linen as nn
 
 from sie_tpu.config import Config
 from sie_tpu.models.layers import Encoder, sinusoidal_embedding
+from sie_tpu.models.timesnet import masked_ns_norm, ns_norm
 
 
 class _EncoderChunk(nn.Module):
@@ -41,22 +43,20 @@ class _EncoderChunk(nn.Module):
 _CHUNK_ROWS = 2048  # max channel-rows per encoder scan step
 
 
-class PatchTST(nn.Module):
+class _PatchBase(nn.Module):
+    """Shared patch->embed->encoder pipeline. Subclasses call ``_encode`` from
+    their compact ``__call__`` (submodules land in the subclass scope, so the
+    classification param tree is unchanged by this refactor)."""
+
     config: Config
     patch_len: int = 16
     stride: int = 8
 
-    @nn.compact
-    def __call__(self, x, padding_mask=None, train: bool = False):
+    def _encode(self, xz, train: bool):
+        """(B, T, C) normalized input -> (B, C, patch_num, d_model)."""
         cfg = self.config
         dt = cfg.compute_dtype
-        b, t, c = x.shape
-
-        # Non-stationary normalization (reference PatchTST.py:181-187)
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        xz = x - mean
-        std = jnp.sqrt(jnp.var(xz, axis=1, keepdims=True) + 1e-5)
-        xz = xz / std
+        b, t, c = xz.shape
 
         # patching: (B, T, C) -> (B*C, patch_num, patch_len)
         xt = jnp.transpose(xz, (0, 2, 1))                        # (B, C, T)
@@ -96,8 +96,77 @@ class PatchTST(nn.Module):
                            in_axes=0, out_axes=0)
             _, hs = scan(cfg, train, name="enc_scan")(None, hp)
             h = hs.reshape(n_chunks * chunk, patch_num, cfg.d_model)[:rows]
+        return h.reshape(b, c, patch_num, cfg.d_model)
 
+    def _flatten_head(self, h, target_window: int, train: bool):
+        """FlattenHead (reference PatchTST.py:13-26): flatten the trailing
+        (d_model, patch_num) — reference layout — then linear + dropout.
+        h: (B, C, P, D) -> (B, target_window, C)."""
+        cfg = self.config
+        b, c, p, d = h.shape
+        hf = jnp.swapaxes(h, 2, 3).reshape(b, c, d * p)
+        out = nn.Dense(target_window, dtype=cfg.compute_dtype, name="head")(hf)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
+        return jnp.transpose(out, (0, 2, 1)).astype(jnp.float32)
+
+
+class PatchTST(_PatchBase):
+    @nn.compact
+    def __call__(self, x, padding_mask=None, train: bool = False):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        b, t, c = x.shape
+
+        # Non-stationary normalization (reference PatchTST.py:181-187)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        xz = x - mean
+        std = jnp.sqrt(jnp.var(xz, axis=1, keepdims=True) + 1e-5)
+        xz = xz / std
+
+        h = self._encode(xz, train)
+        patch_num = h.shape[2]
         h = h.reshape(b, c * patch_num * cfg.d_model)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
         out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
         return out.astype(jnp.float32)
+
+
+class PatchTSTForecaster(_PatchBase):
+    """Forecast branch (reference PatchTST.py:79-110 + forward :210-212):
+    detached NS-normalization, channel-independent encoder, FlattenHead to
+    pred_len, de-normalize. Unreachable from the reference CLI; provided for
+    library-surface parity."""
+
+    @nn.compact
+    def __call__(self, x_enc, x_mark_enc=None, train: bool = False):
+        cfg = self.config
+        xz, mean, std = ns_norm(x_enc)
+        h = self._encode(xz, train)
+        out = self._flatten_head(h, cfg.pred_len, train)
+        return out * std + mean
+
+
+class PatchTSTImputer(_PatchBase):
+    """Imputation branch (reference PatchTST.py:112-147): masked
+    NS-normalization, FlattenHead back to seq_len, de-normalize."""
+
+    @nn.compact
+    def __call__(self, x_enc, x_mark_enc=None, mask=None, train: bool = False):
+        if mask is None:
+            mask = jnp.ones_like(x_enc)
+        xz, mean, std = masked_ns_norm(x_enc, mask)
+        h = self._encode(xz, train)
+        out = self._flatten_head(h, x_enc.shape[1], train)
+        return out * std + mean
+
+
+class PatchTSTAnomalyDetector(_PatchBase):
+    """Anomaly branch (reference PatchTST.py:149-179): the imputer's network
+    with unmasked normalization."""
+
+    @nn.compact
+    def __call__(self, x_enc, train: bool = False):
+        xz, mean, std = ns_norm(x_enc)
+        h = self._encode(xz, train)
+        out = self._flatten_head(h, x_enc.shape[1], train)
+        return out * std + mean

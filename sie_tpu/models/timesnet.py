@@ -159,6 +159,43 @@ class TimesBlock(nn.Module):
         return agg + x
 
 
+def _times_blocks(cfg: Config, h, train: bool):
+    """Shared TimesBlock stack with ONE LayerNorm applied after every block
+    (reference model/TimesNet.py:83-88,118-122). Must be called from inside a
+    compact ``__call__`` (it creates submodules in the caller's scope)."""
+    norm = nn.LayerNorm(name="layer_norm")
+    for i in range(cfg.e_layers):
+        h = norm(TimesBlock(cfg, name=f"block_{i}")(h, train=train))
+    return h
+
+
+def ns_norm(x):
+    """Non-stationary-Transformer normalization with detached statistics
+    (reference model/TimesNet.py:109-115). Returns (normalized, mean, std),
+    stats shaped (B, 1, C)."""
+    mean = jax.lax.stop_gradient(jnp.mean(x, axis=1, keepdims=True))
+    xc = x - mean
+    std = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.var(xc, axis=1, keepdims=True) + 1e-5))
+    return xc / std, mean, std
+
+
+def masked_ns_norm(x, mask):
+    """Imputation-branch normalization over observed points only (reference
+    model/TimesNet.py:137-146): masked points are zeroed after centering and
+    excluded from the mean/std denominators. The reference computes
+    ``sum(x_enc)`` directly because the TSlib imputation protocol pre-masks
+    x_enc (``masked_fill(mask==0, 0)`` in the caller); we fold that masking in
+    so raw inputs give the same statistics."""
+    denom = jnp.sum(mask == 1, axis=1)
+    mean = jax.lax.stop_gradient(
+        jnp.sum(jnp.where(mask == 0, 0.0, x), axis=1) / denom)[:, None, :]
+    xc = jnp.where(mask == 0, 0.0, x - mean)
+    std = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.sum(xc * xc, axis=1) / denom + 1e-5))[:, None, :]
+    return xc / std, mean, std
+
+
 class TimesNet(nn.Module):
     config: Config
 
@@ -169,13 +206,7 @@ class TimesNet(nn.Module):
         h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
                           dtype=dt, name="enc_embedding")(x.astype(dt), None,
                                                           train=train)
-        # ONE LayerNorm shared across all blocks — the reference creates a
-        # single self.layer_norm applied after every TimesBlock
-        # (model/TimesNet.py:88,192), not one per layer
-        norm = nn.LayerNorm(name="layer_norm")
-        for i in range(cfg.e_layers):
-            h = TimesBlock(cfg, name=f"block_{i}")(h, train=train)
-            h = norm(h)
+        h = _times_blocks(cfg, h, train)
         h = jax.nn.gelu(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
         if padding_mask is not None:
@@ -183,3 +214,70 @@ class TimesNet(nn.Module):
         h = h.reshape(h.shape[0], -1)
         out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
         return out.astype(jnp.float32)
+
+
+class TimesNetForecaster(nn.Module):
+    """Forecast branch (reference model/TimesNet.py:107-133 + forward
+    :205-207): NS-normalize, embed, predict_linear aligns the temporal dim to
+    seq_len + pred_len, TimesBlocks, per-step projection, de-normalize, return
+    the last pred_len steps. Unreachable from the reference CLI; provided for
+    library-surface parity like the forecast data loaders."""
+
+    config: Config
+
+    @nn.compact
+    def __call__(self, x_enc, x_mark_enc=None, train: bool = False):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        xz, mean, std = ns_norm(x_enc)
+        h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
+                          dtype=dt, name="enc_embedding")(
+            xz.astype(dt), x_mark_enc, train=train)
+        h = jnp.swapaxes(h, 1, 2)
+        h = nn.Dense(cfg.seq_len + cfg.pred_len, dtype=dt,
+                     name="predict_linear")(h)
+        h = jnp.swapaxes(h, 1, 2)
+        h = _times_blocks(cfg, h, train)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        out = out.astype(jnp.float32) * std + mean
+        return out[:, -cfg.pred_len:, :]
+
+
+class TimesNetImputer(nn.Module):
+    """Imputation branch (reference model/TimesNet.py:135-160): masked
+    NS-normalization, no predict_linear, per-step projection, de-normalize."""
+
+    config: Config
+
+    @nn.compact
+    def __call__(self, x_enc, x_mark_enc=None, mask=None, train: bool = False):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        if mask is None:
+            mask = jnp.ones_like(x_enc)
+        xz, mean, std = masked_ns_norm(x_enc, mask)
+        h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
+                          dtype=dt, name="enc_embedding")(
+            xz.astype(dt), x_mark_enc, train=train)
+        h = _times_blocks(cfg, h, train)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        return out.astype(jnp.float32) * std + mean
+
+
+class TimesNetAnomalyDetector(nn.Module):
+    """Anomaly branch (reference model/TimesNet.py:162-183): the imputer's
+    network with the forecast branch's unmasked normalization and no marks."""
+
+    config: Config
+
+    @nn.compact
+    def __call__(self, x_enc, train: bool = False):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        xz, mean, std = ns_norm(x_enc)
+        h = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
+                          dtype=dt, name="enc_embedding")(
+            xz.astype(dt), None, train=train)
+        h = _times_blocks(cfg, h, train)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        return out.astype(jnp.float32) * std + mean

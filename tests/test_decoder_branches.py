@@ -92,6 +92,86 @@ def test_forecaster_shapes_and_grads():
     assert all(jax.tree.leaves(finite))
 
 
+def _backbone_branch_cases():
+    from sie_tpu.models.patchtst import (PatchTSTAnomalyDetector,
+                                         PatchTSTForecaster, PatchTSTImputer)
+    from sie_tpu.models.timesnet import (TimesNetAnomalyDetector,
+                                         TimesNetForecaster, TimesNetImputer)
+    return [("TimesNet", TimesNetForecaster, TimesNetImputer,
+             TimesNetAnomalyDetector),
+            ("PatchTST", PatchTSTForecaster, PatchTSTImputer,
+             PatchTSTAnomalyDetector)]
+
+
+@pytest.mark.parametrize("name,fc_cls,im_cls,an_cls",
+                         _backbone_branch_cases(),
+                         ids=["TimesNet", "PatchTST"])
+def test_backbone_branch_shapes_and_denorm(name, fc_cls, im_cls, an_cls):
+    """Forecast/imputation/anomaly branches of the TSlib backbones (reference
+    TimesNet.py:107-183, PatchTST.py:79-179): output shapes, and the
+    NS-norm/de-norm sandwich makes every branch exactly affine-equivariant —
+    f(a*x + b) == a*f(x) + b for per-channel affine maps."""
+    cfg = small_cfg(dnn_type=name, top_k=2, num_kernels=2, d_ff=16)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, cfg.seq_len, cfg.enc_in)), jnp.float32)
+    a = jnp.asarray([1.7, 0.4, 3.0])[None, None, :]
+    b = jnp.asarray([-2.0, 5.0, 0.3])[None, None, :]
+
+    fc = fc_cls(cfg)
+    v = fc.init(jax.random.key(0), x)
+    out = fc.apply(v, x)
+    assert out.shape == (2, cfg.pred_len, cfg.c_out)
+    out2 = fc.apply(v, a * x + b)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(a * out + b),
+                               rtol=2e-4, atol=2e-4)
+
+    an = an_cls(cfg)
+    v = an.init(jax.random.key(1), x)
+    out = an.apply(v, x)
+    assert out.shape == (2, cfg.seq_len, cfg.c_out)
+    out2 = an.apply(v, a * x + b)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(a * out + b),
+                               rtol=2e-4, atol=2e-4)
+
+    im = im_cls(cfg)
+    mask = jnp.ones_like(x).at[:, ::3, :].set(0.0)
+    v = im.init(jax.random.key(2), x, None, mask)
+    out = im.apply(v, x, None, mask)
+    assert out.shape == (2, cfg.seq_len, cfg.c_out)
+    # masked stats: zeroing an OBSERVED point changes the output; zeroing an
+    # already-masked point does not (its value never enters the network)
+    x_masked_edit = x.at[:, 0, :].set(0.0)        # t=0 is masked (0 % 3 == 0)
+    np.testing.assert_allclose(np.asarray(im.apply(v, x_masked_edit, None, mask)),
+                               np.asarray(out), rtol=1e-6, atol=1e-6)
+    x_obs_edit = x.at[:, 1, :].add(10.0)          # t=1 is observed
+    assert np.abs(np.asarray(im.apply(v, x_obs_edit, None, mask))
+                  - np.asarray(out)).max() > 1e-3
+
+
+@pytest.mark.parametrize("name,fc_cls,im_cls,an_cls",
+                         _backbone_branch_cases(),
+                         ids=["TimesNet", "PatchTST"])
+def test_backbone_branch_grads_finite(name, fc_cls, im_cls, an_cls):
+    cfg = small_cfg(dnn_type=name, top_k=2, num_kernels=2, d_ff=16)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, cfg.seq_len, cfg.enc_in)), jnp.float32)
+    fc = fc_cls(cfg)
+    v = fc.init(jax.random.key(0), x)
+    g = jax.grad(lambda p: jnp.sum(fc.apply(p, x) ** 2))(v)
+    assert all(jax.tree.leaves(
+        jax.tree.map(lambda z: bool(jnp.isfinite(z).all()), g)))
+
+
+def test_patchtst_classification_tree_unchanged_by_refactor():
+    """The _PatchBase refactor must not move the classification params."""
+    from sie_tpu.models.patchtst import PatchTST
+    cfg = small_cfg(dnn_type="PatchTST")
+    x = jnp.zeros((2, cfg.seq_len, cfg.enc_in), jnp.float32)
+    v = PatchTST(cfg).init(jax.random.key(0), x)
+    top = set(v["params"].keys())
+    assert top == {"value_embedding", "enc_scan", "projection"}
+
+
 def test_imputer_and_anomaly_shapes():
     from sie_tpu.models.transformer import (TransformerAnomalyDetector,
                                             TransformerImputer)
