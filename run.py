@@ -25,7 +25,12 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     # ===== EEG data params =====
     p.add_argument("--data", type=str, default="EEG3",
-                   choices=["EEG", "EEG3", "UEA", "Monash"])
+                   choices=["EEG", "EEG3", "UEA", "Monash",
+                            # forecast / anomaly families (full data_dict
+                            # surface, reference data_factory.py:10-26) —
+                            # reachable via the extended --task_name below
+                            "ETTh1", "ETTh2", "ETTm1", "ETTm2", "custom",
+                            "m4", "PSM", "MSL", "SMAP", "SMD", "SWAT"])
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--json_path", type=str, default="./data/textmaps.json")
     p.add_argument("--target_channels", type=int, default=122)
@@ -90,7 +95,13 @@ def get_args(argv=None):
     p.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True)
     # ===== basic config =====
     p.add_argument("--task_name", type=str, default="classification",
-                   choices=["classification", "regression"])
+                   choices=["classification", "regression",
+                            # TPU-side extension: the reference restricts the
+                            # CLI to the first two (run.py:103) while shipping
+                            # the loaders and model branches for the rest —
+                            # here they are runnable end-to-end (train/tasks.py)
+                            "long_term_forecast", "short_term_forecast",
+                            "imputation", "anomaly_detection"])
     p.add_argument("--model_id", type=str, default="test")
     p.add_argument("--embed", type=str, default="timeF")
     p.add_argument("--freq", type=str, default="h")
@@ -111,16 +122,29 @@ def get_args(argv=None):
     p.add_argument("--dropout", type=float, default=0)
     p.add_argument("--activation", type=str, default="gelu")
     p.add_argument("--output_attention", action="store_true")
+    p.add_argument("--seq_len", type=int, default=96,
+                   help="forecast lookback window (classification/regression "
+                   "derive seq_len from the data and ignore this)")
     p.add_argument("--label_len", type=int, default=48)
     p.add_argument("--pred_len", type=int, default=96)
     p.add_argument("--seasonal_patterns", type=str, default="Monthly",
                    help="M4 subset (reference run.py:134)")
     p.add_argument("--inverse", action="store_true", default=False,
-                   help="inverse-transform forecast outputs (run.py:135). "
-                   "Flag-parity only: like the reference, the forecast "
-                   "experiment is not reachable from this CLI (task_name is "
-                   "classification/regression); the provider-level "
-                   "ForecastDataset.inverse_transform is the API surface")
+                   help="report forecast test metrics in original units by "
+                   "undoing the train-fitted standardization (reference "
+                   "run.py:135; functional here via --task_name "
+                   "long_term_forecast)")
+    p.add_argument("--features", type=str, default="M",
+                   choices=["M", "S", "MS"],
+                   help="forecast mode: M multi->multi, S uni->uni, "
+                   "MS multi->target")
+    p.add_argument("--target", type=str, default="OT",
+                   help="target column for --features S/MS")
+    p.add_argument("--mask_rate", type=float, default=0.25,
+                   help="imputation: fraction of points hidden")
+    p.add_argument("--anomaly_ratio", type=float, default=1.0,
+                   help="anomaly detection: threshold percentile (expected "
+                   "%% anomalous points)")
     # ===== TPU-specific =====
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
@@ -156,15 +180,15 @@ def args_to_config(args, seed: int) -> Config:
         # default (the reference writes 'BasicMotions' into EEG checkpoint
         # paths, run.py:74 + exp:140-152)
         kw["dataset"] = args.data
+    elif args.data.startswith("ETT"):
+        # ETT csv files are named after the dataset (ETTh1.csv, ...) — the
+        # provider builds the path from cfg.dataset (provider.py:51)
+        kw["dataset"] = args.data
     return Config(**kw)
 
 
 def main(argv=None):
     args = get_args(argv)
-    if args.inverse:
-        print("[warn] --inverse has no effect from this CLI (forecast "
-              "experiment unreachable, as in the reference); use "
-              "ForecastDataset.inverse_transform via the provider API")
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
@@ -212,6 +236,23 @@ def main(argv=None):
             all_results.append((seed, None, {"accuracy": float(np.mean(accs)),
                                              "random_baseline": 100.0 / num_class,
                                              "per_fold": fold_results}))
+            continue
+
+        if args.task_name in ("long_term_forecast", "short_term_forecast",
+                              "imputation", "anomaly_detection"):
+            from sie_tpu.train.tasks import TASK_EXPERIMENTS
+            experiment = TASK_EXPERIMENTS[args.task_name](cfg)
+            params = experiment.train(seed=seed, verbose=True)
+            metrics = experiment.test(params)
+            print(f"[{args.task_name}] test: "
+                  + ", ".join(f"{k} {v:.5f}" for k, v in metrics.items()))
+            result_dir = os.path.join(args.result_dir, args.model)
+            os.makedirs(result_dir, exist_ok=True)
+            with open(os.path.join(result_dir,
+                                   f"{args.task_name}_seed{seed}.pkl"),
+                      "wb") as f:
+                pickle.dump({"metrics": metrics, "args": vars(args)}, f)
+            all_results.append((seed, None, metrics))
             continue
 
         if args.task_name == "regression":

@@ -110,6 +110,14 @@ class Config:
     seasonal_patterns: str = "Monthly"  # M4 subset (reference run.py:134)
     inverse: bool = False               # forecast inverse transform (run.py:135)
 
+    # ===== task-branch params (TSlib-lineage library surface; the reference
+    # CLI never exposes these because task_name is restricted, run.py:103) ====
+    features: str = "M"               # forecast mode: M (multi->multi) |
+    # S (uni->uni) | MS (multi->target)
+    target: str = "OT"                # target column for features S/MS
+    mask_rate: float = 0.25           # imputation: fraction of points hidden
+    anomaly_ratio: float = 1.0        # anomaly: expected % anomalous points
+
     # ===== data-derived (injected by the experiment) =====
     seq_len: int = 845
     num_class: int = 3

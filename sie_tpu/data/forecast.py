@@ -68,6 +68,11 @@ def load_forecast_csv(path: str, flag: str = "train", size=(96, 48, 96),
     values = df.drop(columns=[date_col])
     if features == "S":
         values = values[[target]]
+    elif target in values.columns:
+        # target column last, so the 'MS' consumers can slice [..., -1:]
+        # (same convention as the reference's TSlib-lineage loaders)
+        others = [c for c in values.columns if c != target]
+        values = values[others + [target]]
     data = values.to_numpy(dtype=np.float32)
     n = len(data)
 

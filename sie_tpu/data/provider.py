@@ -51,6 +51,7 @@ def _forecast(kind: str):
         path = os.path.join(cfg.data_root, f"{cfg.dataset}.csv")
         return load_forecast_csv(
             path, flag, size=(cfg.seq_len, cfg.label_len, cfg.pred_len),
+            features=cfg.features, target=cfg.target,
             freq=cfg.freq, dataset_kind=kind)
     return load
 

@@ -1,0 +1,452 @@
+"""Forecast / imputation / anomaly-detection experiments.
+
+The reference CLI restricts task_name to classification/regression
+(reference run.py:103), but its library surface carries the full TSlib
+lineage: the forecast and anomaly data loaders
+(data_factory/data_loader.py:18-597) and the forecast/imputation/anomaly
+branches of its backbones (model/Transformer.py:74-96,
+model/TimesNet.py:107-183, model/PatchTST.py:79-179). sie_tpu rebuilt those
+branches as real modules; this file completes the surface end-to-end with
+compact TPU-style loops: the whole split is staged in HBM once, the Adam step
+is one jitted XLA program, early stopping mirrors the classification
+experiment, and the metric sets are the standard ones (utils/metrics MSE/MAE
+family for forecasting, segment-adjustment precision/recall/F1 for anomaly
+detection).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sie_tpu.config import Config
+from sie_tpu.data.provider import data_provider
+from sie_tpu.train.trainer import make_optimizer
+from sie_tpu.utils.metrics import MAE, MAPE, MSE, MSPE, RMSE
+from sie_tpu.utils.tools import EarlyStopping
+
+
+def build_task_model(cfg: Config, task: str):
+    """Backbone-branch registry for the non-classification tasks."""
+    from sie_tpu.models.patchtst import (PatchTSTAnomalyDetector,
+                                         PatchTSTForecaster, PatchTSTImputer)
+    from sie_tpu.models.timesnet import (TimesNetAnomalyDetector,
+                                         TimesNetForecaster, TimesNetImputer)
+    from sie_tpu.models.transformer import (TransformerAnomalyDetector,
+                                            TransformerForecaster,
+                                            TransformerImputer)
+    table = {
+        "forecast": {"Transformer": TransformerForecaster,
+                     "TimesNet": TimesNetForecaster,
+                     "PatchTST": PatchTSTForecaster},
+        "imputation": {"Transformer": TransformerImputer,
+                       "TimesNet": TimesNetImputer,
+                       "PatchTST": PatchTSTImputer},
+        "anomaly": {"Transformer": TransformerAnomalyDetector,
+                    "TimesNet": TimesNetAnomalyDetector,
+                    "PatchTST": PatchTSTAnomalyDetector},
+    }
+    try:
+        return table[task][cfg.dnn_type](cfg)
+    except KeyError:
+        raise ValueError(
+            f"dnn_type {cfg.dnn_type!r} has no {task} branch "
+            f"(available: {sorted(table[task])})") from None
+
+
+def stack_windows(ds) -> Tuple[np.ndarray, ...]:
+    """Materialize a window dataset as dense float32 arrays (one per field).
+    1-D fields (M4 series) gain a trailing channel axis so every consumer
+    sees (N, T, C)."""
+    items = [ds[i] for i in range(len(ds))]
+    cols = tuple(np.stack(p).astype(np.float32) for p in zip(*items))
+    return tuple(c[..., None] if c.ndim == 2 else c for c in cols)
+
+
+class _TaskExperiment:
+    """Shared loop machinery: staged HBM data, jitted step, early stopping."""
+
+    task: str = ""
+
+    def __init__(self, cfg: Config):
+        self.cfg = self._derive_cfg(cfg)
+        self.model = build_task_model(self.cfg, self.task)
+        self.train_data = self._stage("train")
+        self.val_data = self._stage("val")
+        n = len(self.train_data[0])
+        self.steps_per_epoch = max(n // self.cfg.batch_size, 1)
+        self.tx = make_optimizer(self.cfg, self.steps_per_epoch)
+        self._jit_train = None
+        self._jit_eval = None
+
+    # -- subclass hooks ----------------------------------------------------
+    def _derive_cfg(self, cfg: Config) -> Config:
+        return cfg
+
+    def _stage(self, flag: str) -> Tuple[jnp.ndarray, ...]:
+        raise NotImplementedError
+
+    def _loss(self, params, batch, rng, train: bool):
+        """Returns scalar loss (train objective == eval metric objective)."""
+        raise NotImplementedError
+
+    # -- engine ------------------------------------------------------------
+    def init_params(self, seed: int):
+        batch = tuple(a[: min(2, len(a))] for a in self.train_data)
+        rngs = {"params": jax.random.key(seed),
+                "dropout": jax.random.key(seed + 1)}
+        init = jax.jit(functools.partial(self._init_apply, rngs))
+        return init(batch)
+
+    def _init_apply(self, rngs, batch):
+        raise NotImplementedError
+
+    def _train_step(self, params, opt_state, batch, rng):
+        def loss_fn(p):
+            return self._loss(p, batch, rng, True)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def train(self, seed: Optional[int] = None, verbose: bool = False):
+        cfg = self.cfg
+        seed = cfg.seed if seed is None else seed
+        params = self.init_params(max(seed, 0))
+        opt_state = self.tx.init(params)
+        if self._jit_train is None:
+            # no buffer donation: `best` keeps a reference to an earlier
+            # params pytree, which donation would invalidate
+            self._jit_train = jax.jit(self._train_step)
+        stopper = EarlyStopping(patience=cfg.patience)
+        best = params
+        n = len(self.train_data[0])
+        rng = np.random.default_rng(max(seed, 0))
+        for epoch in range(cfg.train_epochs):
+            order = rng.permutation(n)
+            losses = []
+            for k in range(self.steps_per_epoch):
+                idx = order[k * cfg.batch_size:(k + 1) * cfg.batch_size]
+                batch = tuple(a[idx] for a in self.train_data)
+                step_rng = jax.random.fold_in(
+                    jax.random.key(max(seed, 0) + 23), epoch * 10007 + k)
+                params, opt_state, loss = self._jit_train(
+                    params, opt_state, batch, step_rng)
+                losses.append(loss)
+            val = self.evaluate(params, self.val_data)
+            if verbose:
+                print(f"[{self.task}] epoch {epoch}: train "
+                      f"{float(np.mean([float(l) for l in losses])):.5f} "
+                      f"val {val:.5f}")
+            if stopper(val):
+                best = params
+            if stopper.early_stop and epoch + 1 >= cfg.min_epochs:
+                break
+        return best
+
+    def evaluate(self, params, data) -> float:
+        if self._jit_eval is None:
+            self._jit_eval = jax.jit(
+                lambda p, b: self._loss(p, b, jax.random.key(0), False))
+        cfg = self.cfg
+        n = len(data[0])
+        tot, cnt = 0.0, 0
+        for k in range(max(-(-n // cfg.batch_size), 1)):
+            batch = tuple(a[k * cfg.batch_size:(k + 1) * cfg.batch_size]
+                          for a in data)
+            b = len(batch[0])
+            if b == 0:
+                break
+            tot += float(self._jit_eval(params, batch)) * b
+            cnt += b
+        return tot / max(cnt, 1)
+
+
+class ForecastExperiment(_TaskExperiment):
+    """Long-term (ETT/custom) and short-term (M4) forecasting: MSE objective
+    on the prediction horizon; test reports the reference forecast metric set
+    (utils/metrics.py:4-41)."""
+
+    task = "forecast"
+
+    def _derive_cfg(self, cfg: Config) -> Config:
+        ds, _ = data_provider(cfg, "train")
+        x = ds[0][0]
+        c = 1 if x.ndim == 1 else x.shape[-1]
+        kw = dict(enc_in=c, dec_in=c, c_out=c)
+        if cfg.data == "m4":
+            from sie_tpu.data.m4 import M4Meta
+            kw.update(pred_len=M4Meta.horizons_map.get(
+                cfg.seasonal_patterns, cfg.pred_len), label_len=0)
+        self._train_ds = ds
+        return cfg.replace(**kw)
+
+    def _stage(self, flag: str):
+        cfg = self.cfg
+        ds = self._train_ds if flag == "train" else data_provider(cfg, flag)[0]
+        if not hasattr(self, "_datasets"):
+            self._datasets = {}
+        self._datasets[flag] = ds
+        cols = stack_windows(ds)
+        if cfg.data == "m4":                 # (ins, outs) -> x, y, zero marks
+            x, y = cols
+            zm = np.zeros((len(x), x.shape[1], 1), np.float32)
+            zym = np.zeros((len(y), y.shape[1], 1), np.float32)
+            return tuple(jnp.asarray(a) for a in (x, y, zm, zym))
+        return tuple(jnp.asarray(a) for a in cols)
+
+    def _apply(self, params, batch, rng, train: bool):
+        cfg = self.cfg
+        x, y, xm, ym = batch
+        rngs = {"dropout": rng} if train else None
+        if cfg.dnn_type == "Transformer":
+            # TSlib decoder protocol: label_len context + zero-filled horizon
+            dec = jnp.concatenate(
+                [y[:, : cfg.label_len, :],
+                 jnp.zeros((y.shape[0], cfg.pred_len, y.shape[2]),
+                           y.dtype)], axis=1)
+            dec_mark = ym
+            return self.model.apply({"params": params}, x, xm, dec, dec_mark,
+                                    train=train, rngs=rngs)
+        return self.model.apply({"params": params}, x, xm,
+                                train=train, rngs=rngs)
+
+    def _init_apply(self, rngs, batch):
+        cfg = self.cfg
+        x, y, xm, ym = batch
+        if cfg.dnn_type == "Transformer":
+            dec = jnp.concatenate(
+                [y[:, : cfg.label_len, :],
+                 jnp.zeros((y.shape[0], cfg.pred_len, y.shape[2]), y.dtype)],
+                axis=1)
+            return self.model.init(rngs, x, xm, dec, ym)["params"]
+        return self.model.init(rngs, x, xm)["params"]
+
+    def _target(self, y):
+        # features 'MS': predict the target (last) column only
+        f_dim = -1 if self.cfg.features == "MS" else 0
+        return y[:, -self.cfg.pred_len:, f_dim:], f_dim
+
+    def _loss(self, params, batch, rng, train: bool):
+        out = self._apply(params, batch, rng, train)
+        tgt, f_dim = self._target(batch[1])
+        return jnp.mean((out[:, :, f_dim:] - tgt) ** 2)
+
+    def test(self, params) -> Dict[str, float]:
+        data = self._stage("test")
+        cfg = self.cfg
+        preds, trues = [], []
+        n = len(data[0])
+        for k in range(-(-n // cfg.batch_size)):
+            batch = tuple(a[k * cfg.batch_size:(k + 1) * cfg.batch_size]
+                          for a in data)
+            if len(batch[0]) == 0:
+                break
+            out = self._apply(params, batch, jax.random.key(0), False)
+            tgt, f_dim = self._target(batch[1])
+            preds.append(np.asarray(out[:, :, f_dim:]))
+            trues.append(np.asarray(tgt))
+        pred = np.concatenate(preds)
+        true = np.concatenate(trues)
+        ds = getattr(self, "_datasets", {}).get("test")
+        if cfg.inverse and getattr(ds, "mean", None) is not None:
+            # --inverse (reference run.py:135): report metrics in the original
+            # units by undoing the train-fitted standardization
+            f_dim = -1 if cfg.features == "MS" else 0
+            mean, std = ds.mean[f_dim:], ds.std[f_dim:]
+            pred = pred * std + mean
+            true = true * std + mean
+        return {"mse": float(MSE(pred, true)), "mae": float(MAE(pred, true)),
+                "rmse": float(RMSE(pred, true)),
+                "mape": float(MAPE(pred, true)),
+                "mspe": float(MSPE(pred, true))}
+
+
+class ImputationExperiment(_TaskExperiment):
+    """Random-mask imputation on the forecast windows: a Bernoulli(mask_rate)
+    mask hides points, the model reconstructs, the objective is MSE over the
+    HIDDEN points only (the TSlib imputation protocol the reference's branch
+    modules were built for)."""
+
+    task = "imputation"
+
+    def _derive_cfg(self, cfg: Config) -> Config:
+        # pred_len=0 BEFORE loading: imputation reconstructs the input
+        # window, so train/val/test all window with a zero horizon
+        cfg = cfg.replace(pred_len=0, label_len=0)
+        ds, _ = data_provider(cfg, "train")
+        c = ds[0][0].shape[-1]
+        self._train_ds = ds
+        return cfg.replace(enc_in=c, dec_in=c, c_out=c)
+
+    def _stage(self, flag: str):
+        ds = self._train_ds if flag == "train" else data_provider(
+            self.cfg, flag)[0]
+        x, _y, xm, _ym = stack_windows(ds)
+        return jnp.asarray(x), jnp.asarray(xm)
+
+    def _reconstruct(self, params, x_in, xm, mask, rng, train: bool):
+        rngs = {"dropout": rng} if train else None
+        if self.cfg.dnn_type == "Transformer":
+            # the reference Transformer imputation branch ignores the mask
+            # (Transformer.py:81-88): plain embed + project on the masked input
+            return self.model.apply({"params": params}, x_in, xm,
+                                    train=train, rngs=rngs)
+        return self.model.apply({"params": params}, x_in, xm, mask,
+                                train=train, rngs=rngs)
+
+    def _loss(self, params, batch, rng, train: bool):
+        x, xm = batch
+        mask_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, 7))
+        keep = (jax.random.uniform(mask_rng, x.shape)
+                >= self.cfg.mask_rate).astype(x.dtype)
+        x_in = x * keep
+        out = self._reconstruct(params, x_in, xm, keep, drop_rng, train)
+        hidden = 1.0 - keep
+        return (jnp.sum(((out - x) * hidden) ** 2)
+                / jnp.maximum(jnp.sum(hidden), 1.0))
+
+    def _init_apply(self, rngs, batch):
+        x, xm = batch
+        mask = jnp.ones_like(x)
+        if self.cfg.dnn_type == "Transformer":
+            return self.model.init(rngs, x, xm)["params"]
+        return self.model.init(rngs, x, xm, mask)["params"]
+
+    def test(self, params, seed: int = 0) -> Dict[str, float]:
+        data = self._stage("test")
+        cfg = self.cfg
+        n = len(data[0])
+        preds, trues, masks = [], [], []
+        for k in range(-(-n // cfg.batch_size)):
+            x, xm = (a[k * cfg.batch_size:(k + 1) * cfg.batch_size]
+                     for a in data)
+            if len(x) == 0:
+                break
+            rng = jax.random.fold_in(jax.random.key(seed), k)
+            keep = (jax.random.uniform(rng, x.shape)
+                    >= cfg.mask_rate).astype(x.dtype)
+            out = self._reconstruct(params, x * keep, xm, keep,
+                                    jax.random.key(0), False)
+            preds.append(np.asarray(out))
+            trues.append(np.asarray(x))
+            masks.append(np.asarray(keep))
+        pred = np.concatenate(preds)
+        true = np.concatenate(trues)
+        hidden = 1.0 - np.concatenate(masks)
+        err = (pred - true) * hidden
+        denom = max(hidden.sum(), 1.0)
+        return {"mse": float((err ** 2).sum() / denom),
+                "mae": float(np.abs(err).sum() / denom)}
+
+
+class AnomalyExperiment(_TaskExperiment):
+    """Reconstruction-based anomaly detection on the segment loaders
+    (PSM/MSL/SMAP/SMD/SWaT): train minimizes full-window reconstruction MSE;
+    test scores each timestep by its reconstruction energy, thresholds at the
+    (100 - anomaly_ratio) percentile of the pooled train+test energies, and
+    reports precision/recall/F1 after the standard segment adjustment."""
+
+    task = "anomaly"
+
+    def _derive_cfg(self, cfg: Config) -> Config:
+        ds, _ = data_provider(cfg, "train")
+        c = ds[0][0].shape[-1]
+        self._train_ds = ds
+        return cfg.replace(enc_in=c, dec_in=c, c_out=c, pred_len=0)
+
+    def _stage(self, flag: str):
+        ds = self._train_ds if flag == "train" else data_provider(
+            self.cfg, flag)[0]
+        windows, labels = stack_windows(ds)
+        return jnp.asarray(windows), jnp.asarray(labels)
+
+    def __init__(self, cfg: Config):
+        # the segment loaders have no val split (reference SegLoaders expose
+        # train/test); validate on train reconstruction like TSlib
+        self.cfg = self._derive_cfg(cfg)
+        self.model = build_task_model(self.cfg, self.task)
+        self.train_data = self._stage("train")
+        self.val_data = self.train_data
+        n = len(self.train_data[0])
+        self.steps_per_epoch = max(n // self.cfg.batch_size, 1)
+        self.tx = make_optimizer(self.cfg, self.steps_per_epoch)
+        self._jit_train = None
+        self._jit_eval = None
+
+    def _recon(self, params, x, rng, train: bool):
+        rngs = {"dropout": rng} if train else None
+        return self.model.apply({"params": params}, x, train=train, rngs=rngs)
+
+    def _loss(self, params, batch, rng, train: bool):
+        x = batch[0]
+        out = self._recon(params, x, rng, train)
+        return jnp.mean((out - x) ** 2)
+
+    def _init_apply(self, rngs, batch):
+        return self.model.init(rngs, batch[0])["params"]
+
+    def _energies(self, params, data) -> np.ndarray:
+        """Per-timestep reconstruction energy, flattened over windows."""
+        cfg = self.cfg
+        n = len(data[0])
+        out = []
+        for k in range(-(-n // cfg.batch_size)):
+            x = data[0][k * cfg.batch_size:(k + 1) * cfg.batch_size]
+            if len(x) == 0:
+                break
+            rec = self._recon(params, x, jax.random.key(0), False)
+            out.append(np.asarray(jnp.mean((rec - x) ** 2, axis=-1)))
+        return np.concatenate(out).reshape(-1)
+
+    def test(self, params) -> Dict[str, float]:
+        test_data = self._stage("test")
+        train_energy = self._energies(params, self.train_data)
+        test_energy = self._energies(params, test_data)
+        combined = np.concatenate([train_energy, test_energy])
+        thresh = np.percentile(combined, 100.0 - self.cfg.anomaly_ratio)
+        pred = (test_energy > thresh).astype(np.int32)
+        gt = np.asarray(test_data[1]).reshape(-1).astype(np.int32)
+        pred = adjust_predictions(gt, pred)
+        tp = int(((pred == 1) & (gt == 1)).sum())
+        fp = int(((pred == 1) & (gt == 0)).sum())
+        fn = int(((pred == 0) & (gt == 1)).sum())
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+        return {"threshold": float(thresh),
+                "accuracy": float((pred == gt).mean()),
+                "precision": float(precision), "recall": float(recall),
+                "f1": float(f1)}
+
+
+def adjust_predictions(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """Standard segment adjustment: if any point of a true anomaly segment is
+    detected, the whole segment counts as detected."""
+    gt = np.asarray(gt).astype(bool)
+    pred = np.asarray(pred).astype(bool).copy()
+    n = len(gt)
+    i = 0
+    while i < n:
+        if gt[i]:
+            j = i
+            while j < n and gt[j]:
+                j += 1
+            if pred[i:j].any():
+                pred[i:j] = True
+            i = j
+        else:
+            i += 1
+    return pred.astype(np.int32)
+
+
+TASK_EXPERIMENTS = {
+    "long_term_forecast": ForecastExperiment,
+    "short_term_forecast": ForecastExperiment,
+    "imputation": ImputationExperiment,
+    "anomaly_detection": AnomalyExperiment,
+}
