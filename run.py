@@ -248,6 +248,10 @@ def main(argv=None):
                   + ", ".join(f"{k} {v:.5f}" for k, v in metrics.items()))
             result_dir = os.path.join(args.result_dir, args.model)
             os.makedirs(result_dir, exist_ok=True)
+            if hasattr(experiment, "write_forecast_csv"):
+                # M4 protocol: emit {group}_forecast.csv for M4Summary OWA
+                print("forecasts written to "
+                      + experiment.write_forecast_csv(params, result_dir))
             with open(os.path.join(result_dir,
                                    f"{args.task_name}_seed{seed}.pkl"),
                       "wb") as f:

@@ -236,7 +236,9 @@ class ForecastExperiment(_TaskExperiment):
         tgt, f_dim = self._target(batch[1])
         return jnp.mean((out[:, :, f_dim:] - tgt) ** 2)
 
-    def test(self, params) -> Dict[str, float]:
+    def _collect(self, params) -> Tuple[np.ndarray, np.ndarray]:
+        """Horizon predictions and targets over the test split, in dataset
+        order (no shuffle), with --inverse de-standardization applied."""
         data = self._stage("test")
         cfg = self.cfg
         preds, trues = [], []
@@ -260,10 +262,53 @@ class ForecastExperiment(_TaskExperiment):
             mean, std = ds.mean[f_dim:], ds.std[f_dim:]
             pred = pred * std + mean
             true = true * std + mean
+        return pred, true
+
+    def test(self, params) -> Dict[str, float]:
+        pred, true = self._collect(params)
         return {"mse": float(MSE(pred, true)), "mae": float(MAE(pred, true)),
                 "rmse": float(RMSE(pred, true)),
                 "mape": float(MAPE(pred, true)),
                 "mspe": float(MSPE(pred, true))}
+
+
+class ShortTermForecastExperiment(ForecastExperiment):
+    """M4 protocol (the reference's m4 infra: data m4.py + utils/m4_summary.py):
+    the training objective is the M4 sMAPE (utils/losses.py smape_loss, the
+    N-BEATS objective the reference vendors), test reports sMAPE alongside the
+    MSE family, and `write_forecast_csv` emits the `{group}_forecast.csv`
+    consumed by `utils.m4_summary.M4Summary` for the official OWA evaluation
+    against the Naive2 submission."""
+
+    def _loss(self, params, batch, rng, train: bool):
+        from sie_tpu.utils.losses import smape_loss
+        out = self._apply(params, batch, rng, train)
+        tgt, f_dim = self._target(batch[1])
+        return smape_loss(out[:, :, f_dim:], tgt)
+
+    def test(self, params) -> Dict[str, float]:
+        from sie_tpu.utils.m4_summary import smape_2
+        pred, true = self._collect(params)
+        return {"smape": float(np.mean(smape_2(pred, true))),
+                "mse": float(MSE(pred, true)), "mae": float(MAE(pred, true)),
+                "rmse": float(RMSE(pred, true)),
+                "mape": float(MAPE(pred, true)),
+                "mspe": float(MSPE(pred, true))}
+
+    def write_forecast_csv(self, params, out_dir: str) -> str:
+        """One row per test series (dataset order matches the M4 cache order
+        M4Summary groups by), columns V1..V{pred_len}."""
+        import os
+
+        import pandas as pd
+        pred, _ = self._collect(params)
+        flat = pred.reshape(len(pred), -1)   # (N, pred_len) — M4 series are C=1
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir,
+                            f"{self.cfg.seasonal_patterns}_forecast.csv")
+        pd.DataFrame(flat, columns=[f"V{j + 1}" for j in range(flat.shape[1])]
+                     ).to_csv(path, index=False)
+        return path
 
 
 class ImputationExperiment(_TaskExperiment):
@@ -446,7 +491,7 @@ def adjust_predictions(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
 
 TASK_EXPERIMENTS = {
     "long_term_forecast": ForecastExperiment,
-    "short_term_forecast": ForecastExperiment,
+    "short_term_forecast": ShortTermForecastExperiment,
     "imputation": ImputationExperiment,
     "anomaly_detection": AnomalyExperiment,
 }

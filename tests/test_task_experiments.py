@@ -83,6 +83,54 @@ def test_forecast_experiment_m4_timesnet(tmp_path):
     assert np.isfinite(m["mse"])
 
 
+def test_short_term_m4_smape_and_owa_bridge(tmp_path):
+    """short_term_forecast = M4 protocol: sMAPE objective, sMAPE metric, and
+    the {group}_forecast.csv -> M4Summary OWA evaluation round-trip."""
+    from sie_tpu.data.m4 import M4Dataset, M4Meta, build_m4_cache
+    from sie_tpu.train.tasks import ShortTermForecastExperiment
+    from sie_tpu.utils.m4_summary import M4Summary
+
+    rng = np.random.default_rng(5)
+    n_series, train_len, horizon = 6, 30, 6
+    rows_tr = {"V1": [f"Y{i + 1}" for i in range(n_series)]}
+    rows_te = {"V1": rows_tr["V1"]}
+    for j in range(train_len):
+        rows_tr[f"c{j}"] = rng.uniform(10, 100, n_series)
+    for j in range(horizon):
+        rows_te[f"c{j}"] = rng.uniform(10, 100, n_series)
+    pd.DataFrame(rows_tr).to_csv(tmp_path / "Yearly-train.csv", index=False)
+    pd.DataFrame(rows_te).to_csv(tmp_path / "Yearly-test.csv", index=False)
+    cache = tmp_path / "m4cache"
+    build_m4_cache({"Yearly": (str(tmp_path / "Yearly-train.csv"),
+                               str(tmp_path / "Yearly-test.csv"))}, str(cache))
+
+    cfg = _cfg(data="m4", data_root=str(cache), dataset="m4",
+               seasonal_patterns="Yearly", seq_len=12, train_epochs=2,
+               batch_size=4)
+    exp = ShortTermForecastExperiment(cfg)
+    assert exp.cfg.pred_len == M4Meta.horizons_map["Yearly"] == horizon
+    params = exp.train(seed=0)
+    m = exp.test(params)
+    assert "smape" in m and np.isfinite(m["smape"])
+    assert 0.0 <= m["smape"] <= 200.0
+
+    fdir = tmp_path / "forecasts"
+    path = exp.write_forecast_csv(params, str(fdir))
+    fc = pd.read_csv(path)
+    assert fc.shape == (n_series, horizon)
+
+    # naive2 submission (last train value repeated) -> finite OWA
+    tr = M4Dataset.load(True, str(cache))
+    naive_rows = [[sid] + [float(tr.values[i][-1])] * horizon
+                  for i, sid in enumerate(tr.ids)]
+    pd.DataFrame(naive_rows).to_csv(cache / "submission-Naive2.csv",
+                                    index=False)
+    smape, owa, _mape, mase = M4Summary(str(fdir) + "/", str(cache)).evaluate()
+    assert set(owa) == {"Yearly", "Average"}
+    assert all(np.isfinite(v) for v in owa.values())
+    assert all(np.isfinite(v) for v in mase.values())
+
+
 def test_imputation_experiment(tmp_path):
     from sie_tpu.train.tasks import ImputationExperiment
     _write_sine_csv(tmp_path / "sines.csv")
