@@ -149,6 +149,12 @@ def get_args(argv=None):
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--attention_variant", type=str, default="full",
+                   choices=["full", "ds", "prob", "lsh"],
+                   help="encoder attention mechanism (beyond-reference: the "
+                        "reference defines DS/Prob/Reformer attention in "
+                        "layers/SelfAttention_Family.py but never wires "
+                        "them to a model)")
     p.add_argument("--loso", action="store_true",
                    help="leave-one-subject-out sweep (EEG)")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")

@@ -131,6 +131,10 @@ class Config:
     use_flash_attention: bool = False  # Pallas flash attention (opt-in: wins
     # only for long sequences / memory-bound regimes; at CHISCO length 845 the
     # XLA fused naive attention measured 3x faster — docs/BENCH_NOTES.md)
+    attention_variant: str = "full"    # full | ds | prob | lsh — encoder
+    # attention mechanism (sie_tpu/models/extra/attention_variants.py).
+    # Beyond-reference wiring: the reference defines DSAttention /
+    # ProbAttention / ReformerLayer but never reaches them from any model.
     use_fused_attention: bool = True   # fused full-row attention kernel
     # (ops/pallas/attention_pallas.py): default path for T<=4096; exact
     # softmax + in-kernel dropout; interpret-mode off-TPU

@@ -185,15 +185,36 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
+    variant: str = "full"   # full | ds | prob | lsh — swaps the inner
+    # attention for a sie_tpu.models.extra variant (beyond-reference
+    # wiring: the reference defines these layers but never reaches them)
+
+    def _attention(self):
+        kw = dict(d_model=self.d_model, n_heads=self.n_heads,
+                  attention_dropout=self.dropout, dtype=self.dtype)
+        if self.variant == "ds":
+            from sie_tpu.models.extra.attention_variants import \
+                DSAttentionLayer
+            return DSAttentionLayer(**kw)
+        if self.variant == "prob":
+            from sie_tpu.models.extra.attention_variants import \
+                ProbAttentionLayer
+            return ProbAttentionLayer(**kw)
+        if self.variant == "lsh":
+            from sie_tpu.models.extra.attention_variants import \
+                LSHAttentionLayer
+            return LSHAttentionLayer(**kw)
+        return FullAttentionLayer(use_flash=self.use_flash,
+                                  use_fused=self.use_fused, **kw)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
-        attn = FullAttentionLayer(self.d_model, self.n_heads,
-                                  attention_dropout=self.dropout,
-                                  dtype=self.dtype,
-                                  use_flash=self.use_flash,
-                                  use_fused=self.use_fused)(x, x, x, train=train)
+        inner = self._attention()
+        if self.variant == "lsh":
+            attn = inner(x, train=train)        # shared-QK self-attention
+        else:
+            attn = inner(x, x, x, train=train)
         x = x + drop(attn)
         x = y = nn.LayerNorm(name="norm1")(x)
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
@@ -214,6 +235,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
+    variant: str = "full"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -222,7 +244,7 @@ class Encoder(nn.Module):
         for i in range(self.e_layers):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,
-                             self.use_flash, self.use_fused,
+                             self.use_flash, self.use_fused, self.variant,
                              name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
 

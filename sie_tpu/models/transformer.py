@@ -32,6 +32,7 @@ class Transformer(nn.Module):
                     cfg.dropout, cfg.activation, dtype=dt,
                     use_flash=cfg.use_flash_attention,
                     use_fused=cfg.use_fused_attention,
+                    variant=cfg.attention_variant,
                     name="encoder")(h, train=train)
         h = jax.nn.gelu(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
