@@ -169,6 +169,7 @@ class LSHAttentionLayer(nn.Module):
     n_heads: int
     bucket_size: int = 4
     n_hashes: int = 4
+    attention_dropout: float = 0.0
     causal: bool = False
     hash_seed: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -189,7 +190,10 @@ class LSHAttentionLayer(nn.Module):
         fold = lambda z: z.reshape(b, n, h, dk).transpose(0, 2, 1, 3).reshape(
             b * h, n, dk)
         qk, v = fold(qk), fold(v)
-        keys = qk / (jnp.linalg.norm(qk, axis=-1, keepdims=True) + 1e-9)
+        # safe l2-normalize: norm() at the exact-zero vectors produced by
+        # length padding has a NaN gradient; sqrt(ss + eps) does not
+        ss = jnp.sum(jnp.square(qk), axis=-1, keepdims=True)
+        keys = qk * jax.lax.rsqrt(ss + 1e-12)
 
         n_buckets = max(n // bs, 2)
         if n_buckets % 2:
@@ -233,6 +237,10 @@ class LSHAttentionLayer(nn.Module):
                            scores - 1e5, scores)
         lse = jax.nn.logsumexp(scores, axis=-1)             # (Z, R, nc, bs)
         probs = jnp.exp(scores - lse[..., None])
+        # post-softmax attention dropout (reformer convention); the round
+        # weights stay pre-dropout lse so the combination is unaffected
+        probs = nn.Dropout(self.attention_dropout)(
+            probs, deterministic=not train)
         o = jnp.einsum("zrcqk,zrcke->zrcqe", probs, vv.astype(jnp.float32))
 
         # unsort each round, then combine rounds by their lse weights

@@ -450,3 +450,39 @@ def test_inception_blocks():
         y = mod.apply(p, x)
         assert y.shape == (2, 8, 10, 5)
         assert bool(jnp.isfinite(y).all())
+
+
+# ------------------------------------------------- backbone wiring (variant)
+
+@pytest.mark.parametrize("variant", ["full", "ds", "prob", "lsh"])
+def test_transformer_backbone_attention_variants(variant):
+    """Config.attention_variant must swap the encoder attention end-to-end:
+    one dropout-active grad step through the classification Transformer
+    (models/layers.py:EncoderLayer) with finite loss and nonzero grads —
+    this covers the shared-QK call signature of the lsh branch, which the
+    per-module tests above cannot reach."""
+    from sie_tpu.config import Config
+    from sie_tpu.models.transformer import Transformer
+
+    cfg = Config(seq_len=18, enc_in=3, num_class=4, d_model=16, d_ff=32,
+                 n_heads=2, e_layers=1, dropout=0.1, amp=False,
+                 use_pallas=False, use_fused_attention=False,
+                 attention_variant=variant)
+    model = Transformer(cfg)
+    x = _x((2, cfg.seq_len, cfg.enc_in), seed=3)
+    mask = jnp.ones((2, cfg.seq_len))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        x, mask, train=False)
+
+    def loss_fn(p):
+        logits = model.apply(p, x, mask, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(jax.nn.log_softmax(logits)[:, 0] * -1.0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert bool(jnp.isfinite(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0.0
