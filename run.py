@@ -65,7 +65,12 @@ def get_args(argv=None):
     p.add_argument("--model", type=str, default="InterpGN",
                    choices=["SBM", "LTS", "InterpGN", "DNN", "EEGCNN"])
     p.add_argument("--dnn_type", type=str, default="Transformer",
-                   choices=["FCN", "Transformer", "TimesNet", "PatchTST", "ResNet"])
+                   choices=["FCN", "Transformer", "TimesNet", "PatchTST",
+                            "ResNet",
+                            # forecast-only families assembled from the
+                            # resurrected layer library (models/extra/)
+                            "Autoformer", "FEDformer", "ETSformer",
+                            "Pyraformer", "Crossformer"])
     p.add_argument("--dataset", type=str, default="BasicMotions")
     p.add_argument("--lambda_reg", type=float, default=0.1)
     p.add_argument("--lambda_div", type=float, default=0.1)
@@ -195,6 +200,16 @@ def args_to_config(args, seed: int) -> Config:
 
 def main(argv=None):
     args = get_args(argv)
+    forecast_only = {"Autoformer", "FEDformer", "ETSformer", "Pyraformer",
+                     "Crossformer"}
+    if (args.dnn_type in forecast_only
+            and args.task_name in ("classification", "regression")):
+        raise SystemExit(
+            f"--dnn_type {args.dnn_type} is assembled as a forecasting model "
+            "only (models/extra/forecasters.py); use --task_name "
+            "long_term_forecast/short_term_forecast, or pick one of "
+            "FCN/Transformer/TimesNet/PatchTST/ResNet for "
+            f"{args.task_name}")
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

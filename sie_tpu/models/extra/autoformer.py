@@ -134,6 +134,74 @@ class AutoCorrelationLayer(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out), attn
 
 
+class SpectralAttentionLayer(nn.Module):
+    """QKV/out projections around a frequency-domain mechanism — the
+    FEDformer pattern (reference FourierCorrelation.py /
+    MultiWaveletCorrelation.py blocks are designed to sit inside
+    AutoCorrelationLayer's projection wrapper). `mechanism` selects:
+    fourier (FourierBlock self / FourierCrossAttention cross) or
+    wavelet (MultiWaveletTransform self / MultiWaveletCross cross)."""
+
+    d_model: int
+    n_heads: int
+    mechanism: str = "fourier"          # fourier | wavelet
+    cross: bool = False
+    modes: int = 16
+    wavelet_k: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, *, train: bool = False):
+        from sie_tpu.models.extra.fourier import (FourierBlock,
+                                                  FourierCrossAttention)
+        from sie_tpu.models.extra.multiwavelet import (MultiWaveletCross,
+                                                       MultiWaveletTransform)
+        h = self.n_heads
+        dk = self.d_model // h
+        dense = lambda name: nn.Dense(dk * h, dtype=self.dtype, name=name)
+        lq, lk = q_in.shape[1], k_in.shape[1]
+        q = dense("query")(q_in).reshape(-1, lq, h, dk)
+        k = dense("key")(k_in).reshape(-1, lk, h, dk)
+        v = dense("value")(v_in).reshape(-1, lk, h, dk)
+        modes = min(self.modes, min(lq, lk) // 2)
+        if self.mechanism == "wavelet":
+            wk = self.wavelet_k
+            if self.cross:
+                out, _ = MultiWaveletCross(
+                    in_channels=h * dk, out_channels=h * dk, modes=modes,
+                    c=max(h * dk // wk, 1), k=wk, ich=h * dk,
+                    name="inner")(q, k, v)
+                out = out.reshape(-1, lq, h * dk)
+            else:
+                out, _ = MultiWaveletTransform(
+                    ich=h * dk, k=wk, alpha=16, c=max(h * dk // wk, 1),
+                    nCZ=1, name="inner")(q, k, v)
+                out = out.reshape(-1, lq, h * dk)
+        elif self.cross:
+            out, _ = FourierCrossAttention(
+                in_channels=h * dk, out_channels=h * dk, seq_len_q=lq,
+                seq_len_kv=lk, modes=modes, name="inner", n_heads=h)(q, k)
+            out = out.reshape(-1, lq, h * dk)
+        else:
+            out, _ = FourierBlock(
+                in_channels=h * dk, out_channels=h * dk, seq_len=lq,
+                modes=modes, name="inner", n_heads=h)(q)
+            out = out.reshape(-1, lq, h * dk)
+        out = out.astype(self.dtype)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out), None
+
+
+def _correlation_layer(attention: str, d_model: int, n_heads: int,
+                       factor: int, dtype, name: str, cross: bool = False):
+    """attention = 'auto' | 'fourier' | 'wavelet' — the Autoformer vs
+    FEDformer-Fourier vs FEDformer-Wavelets inner mechanism."""
+    if attention == "auto":
+        return AutoCorrelationLayer(d_model, n_heads, factor, dtype=dtype,
+                                    name=name)
+    return SpectralAttentionLayer(d_model, n_heads, mechanism=attention,
+                                  cross=cross, dtype=dtype, name=name)
+
+
 class AutoformerEncoderLayer(nn.Module):
     """Encoder layer with progressive decomposition (reference
     Autoformer_EncDec.py:79-109): attention residual -> decomp -> conv FFN
@@ -146,6 +214,7 @@ class AutoformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     factor: int = 1
+    attention: str = "auto"             # auto | fourier | wavelet
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,10 +222,9 @@ class AutoformerEncoderLayer(nn.Module):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
-        new_x, _ = AutoCorrelationLayer(self.d_model, self.n_heads,
-                                        self.factor, dtype=self.dtype,
-                                        name="attention")(x, x, x,
-                                                          train=train)
+        new_x, _ = _correlation_layer(
+            self.attention, self.d_model, self.n_heads, self.factor,
+            self.dtype, "attention")(x, x, x, train=train)
         x, _ = series_decomp(x + drop(new_x), self.moving_avg_kernel)
         y = drop(act(nn.Dense(d_ff, use_bias=False, dtype=self.dtype,
                               name="conv1")(x)))
@@ -178,6 +246,7 @@ class AutoformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     factor: int = 1
+    attention: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -186,8 +255,8 @@ class AutoformerEncoder(nn.Module):
             x = AutoformerEncoderLayer(
                 self.d_model, self.d_ff, self.n_heads,
                 self.moving_avg_kernel, self.dropout, self.activation,
-                self.factor, dtype=self.dtype, name=f"layer_{i}")(
-                    x, train=train)
+                self.factor, self.attention, dtype=self.dtype,
+                name=f"layer_{i}")(x, train=train)
         return SeasonalLayerNorm(name="norm")(x)
 
 
@@ -204,6 +273,7 @@ class AutoformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     factor: int = 1
+    attention: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -211,12 +281,13 @@ class AutoformerDecoderLayer(nn.Module):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
-        ac = lambda name: AutoCorrelationLayer(self.d_model, self.n_heads,
-                                               self.factor, dtype=self.dtype,
-                                               name=name)
+        ac = lambda name, cr=False: _correlation_layer(
+            self.attention, self.d_model, self.n_heads, self.factor,
+            self.dtype, name, cross=cr)
         x = x + drop(ac("self_attention")(x, x, x, train=train)[0])
         x, trend1 = series_decomp(x, self.moving_avg_kernel)
-        x = x + drop(ac("cross_attention")(x, cross, cross, train=train)[0])
+        x = x + drop(ac("cross_attention", cr=True)(x, cross, cross,
+                                                    train=train)[0])
         x, trend2 = series_decomp(x, self.moving_avg_kernel)
         y = drop(act(nn.Dense(d_ff, use_bias=False, dtype=self.dtype,
                               name="conv1")(x)))
@@ -245,6 +316,7 @@ class AutoformerDecoder(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     factor: int = 1
+    attention: str = "auto"
     project_out: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -254,8 +326,8 @@ class AutoformerDecoder(nn.Module):
             x, residual_trend = AutoformerDecoderLayer(
                 self.d_model, self.c_out, self.d_ff, self.n_heads,
                 self.moving_avg_kernel, self.dropout, self.activation,
-                self.factor, dtype=self.dtype, name=f"layer_{i}")(
-                    x, cross, train=train)
+                self.factor, self.attention, dtype=self.dtype,
+                name=f"layer_{i}")(x, cross, train=train)
             trend = trend + residual_trend
         x = SeasonalLayerNorm(name="norm")(x)
         if self.project_out:

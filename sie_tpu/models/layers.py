@@ -56,14 +56,19 @@ class DataEmbedding(nn.Module):
     embed_type: str = "timeF"
     freq: str = "h"
     dropout: float = 0.1
+    positional: bool = True   # False = the reference's DataEmbedding_wo_pos
+    # (Embed.py:129-146), used by the Autoformer/FEDformer family whose
+    # auto-correlation is position-aware by construction
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mark=None, *, train: bool = False):
         v = TokenEmbedding(self.d_model, dtype=self.dtype)(x)
-        pe = jnp.asarray(sinusoidal_embedding(x.shape[1], self.d_model),
-                         dtype=v.dtype)
-        out = v + pe[None]
+        out = v
+        if self.positional:
+            pe = jnp.asarray(sinusoidal_embedding(x.shape[1], self.d_model),
+                             dtype=v.dtype)
+            out = out + pe[None]
         if x_mark is not None:
             freq_map = {"h": 4, "t": 5, "s": 6, "m": 1, "a": 1, "w": 2, "d": 3, "b": 3}
             mark = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,

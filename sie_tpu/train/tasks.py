@@ -40,10 +40,22 @@ def build_task_model(cfg: Config, task: str):
     from sie_tpu.models.transformer import (TransformerAnomalyDetector,
                                             TransformerForecaster,
                                             TransformerImputer)
+    from sie_tpu.models.extra.forecasters import (AutoformerForecaster,
+                                                  CrossformerForecaster,
+                                                  ETSformerForecaster,
+                                                  FEDformerForecaster,
+                                                  PyraformerForecaster)
     table = {
         "forecast": {"Transformer": TransformerForecaster,
                      "TimesNet": TimesNetForecaster,
-                     "PatchTST": PatchTSTForecaster},
+                     "PatchTST": PatchTSTForecaster,
+                     # assembled from the resurrected layer families
+                     # (models/extra/forecasters.py — beyond-reference)
+                     "Autoformer": AutoformerForecaster,
+                     "FEDformer": FEDformerForecaster,
+                     "ETSformer": ETSformerForecaster,
+                     "Pyraformer": PyraformerForecaster,
+                     "Crossformer": CrossformerForecaster},
         "imputation": {"Transformer": TransformerImputer,
                        "TimesNet": TimesNetImputer,
                        "PatchTST": PatchTSTImputer},
@@ -91,33 +103,54 @@ class _TaskExperiment:
     def _stage(self, flag: str) -> Tuple[jnp.ndarray, ...]:
         raise NotImplementedError
 
-    def _loss(self, params, batch, rng, train: bool):
-        """Returns scalar loss (train objective == eval metric objective)."""
+    def _loss(self, variables, batch, rng, train: bool):
+        """Returns (scalar loss, updated non-param collections)."""
         raise NotImplementedError
 
     # -- engine ------------------------------------------------------------
+    # "params" throughout the public surface is the FULL flax variables
+    # dict ({"params": ..., possibly "batch_stats": ...}); only the
+    # "params" collection receives gradients, mutable collections (BN
+    # running stats, e.g. Pyraformer's bottleneck convs) are threaded
+    # functionally through the jitted step.
     def init_params(self, seed: int):
         batch = tuple(a[: min(2, len(a))] for a in self.train_data)
         rngs = {"params": jax.random.key(seed),
                 "dropout": jax.random.key(seed + 1)}
         init = jax.jit(functools.partial(self._init_apply, rngs))
-        return init(batch)
+        return dict(init(batch))
 
     def _init_apply(self, rngs, batch):
         raise NotImplementedError
 
-    def _train_step(self, params, opt_state, batch, rng):
+    def _model_apply(self, variables, *args, rng=None, train: bool = False):
+        """Shared apply: returns (out, updated collections)."""
+        if train:
+            out, upd = self.model.apply(variables, *args, train=True,
+                                        rngs={"dropout": rng},
+                                        mutable=["batch_stats"])
+            return out, dict(upd)
+        return self.model.apply(variables, *args, train=False), {}
+
+    def _train_step(self, variables, opt_state, batch, rng):
+        aux = {k: v for k, v in variables.items() if k != "params"}
         def loss_fn(p):
-            return self._loss(p, batch, rng, True)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            return self._loss({"params": p, **aux}, batch, rng, True)
+        (loss, new_aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = self.tx.update(grads, opt_state,
+                                            variables["params"])
+        new_vars = dict(variables,
+                        params=optax.apply_updates(variables["params"],
+                                                   updates))
+        new_vars.update(new_aux)
+        return new_vars, opt_state, loss
 
     def train(self, seed: Optional[int] = None, verbose: bool = False):
         cfg = self.cfg
         seed = cfg.seed if seed is None else seed
         params = self.init_params(max(seed, 0))
-        opt_state = self.tx.init(params)
+        opt_state = self.tx.init(params["params"])
         if self._jit_train is None:
             # no buffer donation: `best` keeps a reference to an earlier
             # params pytree, which donation would invalidate
@@ -151,7 +184,7 @@ class _TaskExperiment:
     def evaluate(self, params, data) -> float:
         if self._jit_eval is None:
             self._jit_eval = jax.jit(
-                lambda p, b: self._loss(p, b, jax.random.key(0), False))
+                lambda p, b: self._loss(p, b, jax.random.key(0), False)[0])
         cfg = self.cfg
         n = len(data[0])
         tot, cnt = 0.0, 0
@@ -199,42 +232,45 @@ class ForecastExperiment(_TaskExperiment):
             return tuple(jnp.asarray(a) for a in (x, y, zm, zym))
         return tuple(jnp.asarray(a) for a in cols)
 
-    def _apply(self, params, batch, rng, train: bool):
+    # models that speak the 4-arg TSlib enc-dec protocol (decoder fed the
+    # label_len context + zero horizon; the Autoformer family ignores the
+    # dec values and builds its own decomposition init, but takes dec marks)
+    _ENC_DEC = frozenset({"Transformer", "Autoformer", "FEDformer",
+                          "ETSformer", "Pyraformer", "Crossformer"})
+
+    def _apply(self, variables, batch, rng, train: bool):
         cfg = self.cfg
         x, y, xm, ym = batch
-        rngs = {"dropout": rng} if train else None
-        if cfg.dnn_type == "Transformer":
+        if cfg.dnn_type in self._ENC_DEC:
             # TSlib decoder protocol: label_len context + zero-filled horizon
             dec = jnp.concatenate(
                 [y[:, : cfg.label_len, :],
                  jnp.zeros((y.shape[0], cfg.pred_len, y.shape[2]),
                            y.dtype)], axis=1)
-            dec_mark = ym
-            return self.model.apply({"params": params}, x, xm, dec, dec_mark,
-                                    train=train, rngs=rngs)
-        return self.model.apply({"params": params}, x, xm,
-                                train=train, rngs=rngs)
+            return self._model_apply(variables, x, xm, dec, ym,
+                                     rng=rng, train=train)
+        return self._model_apply(variables, x, xm, rng=rng, train=train)
 
     def _init_apply(self, rngs, batch):
         cfg = self.cfg
         x, y, xm, ym = batch
-        if cfg.dnn_type == "Transformer":
+        if cfg.dnn_type in self._ENC_DEC:
             dec = jnp.concatenate(
                 [y[:, : cfg.label_len, :],
                  jnp.zeros((y.shape[0], cfg.pred_len, y.shape[2]), y.dtype)],
                 axis=1)
-            return self.model.init(rngs, x, xm, dec, ym)["params"]
-        return self.model.init(rngs, x, xm)["params"]
+            return self.model.init(rngs, x, xm, dec, ym)
+        return self.model.init(rngs, x, xm)
 
     def _target(self, y):
         # features 'MS': predict the target (last) column only
         f_dim = -1 if self.cfg.features == "MS" else 0
         return y[:, -self.cfg.pred_len:, f_dim:], f_dim
 
-    def _loss(self, params, batch, rng, train: bool):
-        out = self._apply(params, batch, rng, train)
+    def _loss(self, variables, batch, rng, train: bool):
+        out, aux = self._apply(variables, batch, rng, train)
         tgt, f_dim = self._target(batch[1])
-        return jnp.mean((out[:, :, f_dim:] - tgt) ** 2)
+        return jnp.mean((out[:, :, f_dim:] - tgt) ** 2), aux
 
     def _collect(self, params) -> Tuple[np.ndarray, np.ndarray]:
         """Horizon predictions and targets over the test split, in dataset
@@ -248,7 +284,7 @@ class ForecastExperiment(_TaskExperiment):
                           for a in data)
             if len(batch[0]) == 0:
                 break
-            out = self._apply(params, batch, jax.random.key(0), False)
+            out, _ = self._apply(params, batch, jax.random.key(0), False)
             tgt, f_dim = self._target(batch[1])
             preds.append(np.asarray(out[:, :, f_dim:]))
             trues.append(np.asarray(tgt))
@@ -280,11 +316,11 @@ class ShortTermForecastExperiment(ForecastExperiment):
     consumed by `utils.m4_summary.M4Summary` for the official OWA evaluation
     against the Naive2 submission."""
 
-    def _loss(self, params, batch, rng, train: bool):
+    def _loss(self, variables, batch, rng, train: bool):
         from sie_tpu.utils.losses import smape_loss
-        out = self._apply(params, batch, rng, train)
+        out, aux = self._apply(variables, batch, rng, train)
         tgt, f_dim = self._target(batch[1])
-        return smape_loss(out[:, :, f_dim:], tgt)
+        return smape_loss(out[:, :, f_dim:], tgt), aux
 
     def test(self, params) -> Dict[str, float]:
         from sie_tpu.utils.m4_summary import smape_2
@@ -334,33 +370,33 @@ class ImputationExperiment(_TaskExperiment):
         x, _y, xm, _ym = stack_windows(ds)
         return jnp.asarray(x), jnp.asarray(xm)
 
-    def _reconstruct(self, params, x_in, xm, mask, rng, train: bool):
-        rngs = {"dropout": rng} if train else None
+    def _reconstruct(self, variables, x_in, xm, mask, rng, train: bool):
         if self.cfg.dnn_type == "Transformer":
             # the reference Transformer imputation branch ignores the mask
             # (Transformer.py:81-88): plain embed + project on the masked input
-            return self.model.apply({"params": params}, x_in, xm,
-                                    train=train, rngs=rngs)
-        return self.model.apply({"params": params}, x_in, xm, mask,
-                                train=train, rngs=rngs)
+            return self._model_apply(variables, x_in, xm,
+                                     rng=rng, train=train)
+        return self._model_apply(variables, x_in, xm, mask,
+                                 rng=rng, train=train)
 
-    def _loss(self, params, batch, rng, train: bool):
+    def _loss(self, variables, batch, rng, train: bool):
         x, xm = batch
         mask_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, 7))
         keep = (jax.random.uniform(mask_rng, x.shape)
                 >= self.cfg.mask_rate).astype(x.dtype)
         x_in = x * keep
-        out = self._reconstruct(params, x_in, xm, keep, drop_rng, train)
+        out, aux = self._reconstruct(variables, x_in, xm, keep, drop_rng,
+                                     train)
         hidden = 1.0 - keep
         return (jnp.sum(((out - x) * hidden) ** 2)
-                / jnp.maximum(jnp.sum(hidden), 1.0))
+                / jnp.maximum(jnp.sum(hidden), 1.0)), aux
 
     def _init_apply(self, rngs, batch):
         x, xm = batch
         mask = jnp.ones_like(x)
         if self.cfg.dnn_type == "Transformer":
-            return self.model.init(rngs, x, xm)["params"]
-        return self.model.init(rngs, x, xm, mask)["params"]
+            return self.model.init(rngs, x, xm)
+        return self.model.init(rngs, x, xm, mask)
 
     def test(self, params, seed: int = 0) -> Dict[str, float]:
         data = self._stage("test")
@@ -375,8 +411,8 @@ class ImputationExperiment(_TaskExperiment):
             rng = jax.random.fold_in(jax.random.key(seed), k)
             keep = (jax.random.uniform(rng, x.shape)
                     >= cfg.mask_rate).astype(x.dtype)
-            out = self._reconstruct(params, x * keep, xm, keep,
-                                    jax.random.key(0), False)
+            out, _ = self._reconstruct(params, x * keep, xm, keep,
+                                       jax.random.key(0), False)
             preds.append(np.asarray(out))
             trues.append(np.asarray(x))
             masks.append(np.asarray(keep))
@@ -423,17 +459,16 @@ class AnomalyExperiment(_TaskExperiment):
         self._jit_train = None
         self._jit_eval = None
 
-    def _recon(self, params, x, rng, train: bool):
-        rngs = {"dropout": rng} if train else None
-        return self.model.apply({"params": params}, x, train=train, rngs=rngs)
+    def _recon(self, variables, x, rng, train: bool):
+        return self._model_apply(variables, x, rng=rng, train=train)
 
-    def _loss(self, params, batch, rng, train: bool):
+    def _loss(self, variables, batch, rng, train: bool):
         x = batch[0]
-        out = self._recon(params, x, rng, train)
-        return jnp.mean((out - x) ** 2)
+        out, aux = self._recon(variables, x, rng, train)
+        return jnp.mean((out - x) ** 2), aux
 
     def _init_apply(self, rngs, batch):
-        return self.model.init(rngs, batch[0])["params"]
+        return self.model.init(rngs, batch[0])
 
     def _energies(self, params, data) -> np.ndarray:
         """Per-timestep reconstruction energy, flattened over windows."""
@@ -444,7 +479,7 @@ class AnomalyExperiment(_TaskExperiment):
             x = data[0][k * cfg.batch_size:(k + 1) * cfg.batch_size]
             if len(x) == 0:
                 break
-            rec = self._recon(params, x, jax.random.key(0), False)
+            rec, _ = self._recon(params, x, jax.random.key(0), False)
             out.append(np.asarray(jnp.mean((rec - x) ** 2, axis=-1)))
         return np.concatenate(out).reshape(-1)
 
