@@ -67,8 +67,9 @@ def get_args(argv=None):
     p.add_argument("--dnn_type", type=str, default="Transformer",
                    choices=["FCN", "Transformer", "TimesNet", "PatchTST",
                             "ResNet",
-                            # forecast-only families assembled from the
-                            # resurrected layer library (models/extra/)
+                            # families assembled from the resurrected layer
+                            # library (models/extra/) — usable for every
+                            # task, incl. classification inside InterpGN
                             "Autoformer", "FEDformer", "ETSformer",
                             "Pyraformer", "Crossformer"])
     p.add_argument("--dataset", type=str, default="BasicMotions")
@@ -200,16 +201,6 @@ def args_to_config(args, seed: int) -> Config:
 
 def main(argv=None):
     args = get_args(argv)
-    forecast_only = {"Autoformer", "FEDformer", "ETSformer", "Pyraformer",
-                     "Crossformer"}
-    if (args.dnn_type in forecast_only
-            and args.task_name in ("classification", "regression")):
-        raise SystemExit(
-            f"--dnn_type {args.dnn_type} is assembled as a forecasting model "
-            "only (models/extra/forecasters.py); use --task_name "
-            "long_term_forecast/short_term_forecast, or pick one of "
-            "FCN/Transformer/TimesNet/PatchTST/ResNet for "
-            f"{args.task_name}")
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

@@ -17,12 +17,25 @@ def _dnn_registry():
     from sie_tpu.models.timesnet import TimesNet
     from sie_tpu.models.patchtst import PatchTST
     from sie_tpu.models.resnet import ResNet
+    from sie_tpu.models.extra.backbones import (AutoformerBackbone,
+                                                CrossformerBackbone,
+                                                ETSformerBackbone,
+                                                FEDformerBackbone,
+                                                PyraformerBackbone)
     return {
         "FCN": FullyConvNetwork,
         "Transformer": Transformer,
         "TimesNet": TimesNet,
         "PatchTST": PatchTST,
         "ResNet": ResNet,
+        # classification heads for the resurrected layer families
+        # (models/extra/backbones.py — beyond-reference; usable standalone
+        # via --model DNN and as the deep expert inside InterpGN)
+        "Autoformer": AutoformerBackbone,
+        "FEDformer": FEDformerBackbone,
+        "ETSformer": ETSformerBackbone,
+        "Pyraformer": PyraformerBackbone,
+        "Crossformer": CrossformerBackbone,
     }
 
 

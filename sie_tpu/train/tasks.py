@@ -63,6 +63,12 @@ def build_task_model(cfg: Config, task: str):
                     "TimesNet": TimesNetAnomalyDetector,
                     "PatchTST": PatchTSTAnomalyDetector},
     }
+    from sie_tpu.models.extra.backbones import make_dense_task
+    for fam in ("Autoformer", "FEDformer", "ETSformer", "Pyraformer",
+                "Crossformer"):
+        dense = make_dense_task(fam)
+        table["imputation"][fam] = dense
+        table["anomaly"][fam] = dense
     try:
         return table[task][cfg.dnn_type](cfg)
     except KeyError:
