@@ -168,6 +168,10 @@ def get_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="./cache")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (XProf) trace of training here")
+    p.add_argument("--export_bundle", type=str, default=None,
+                   help="after test, export a self-contained serving bundle "
+                        "(config.json + weights; sie_tpu/serve.py) here — "
+                        "load with sie_tpu.serve.Predictor.load_bundle")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf; the "
                         "reference's closest analog is cudnn-determinism in "
@@ -301,6 +305,16 @@ def main(argv=None):
             pickle.dump({"test_loss": test_loss, "test_metrics": test_metrics,
                          "result": test_result, "args": vars(args)}, f)
         print(f"results pickled to {result_file}")
+
+        if args.export_bundle:
+            from sie_tpu.serve import Predictor
+            bundle_dir = (os.path.join(args.export_bundle, f"seed-{seed}")
+                          if len(seeds) > 1 else args.export_bundle)
+            Predictor(experiment.cfg,
+                      {"params": experiment.state.params,
+                       "batch_stats": experiment.state.batch_stats}
+                      ).save_bundle(bundle_dir)
+            print(f"serving bundle exported to {bundle_dir}")
 
         if test_metrics and "accuracy" in test_metrics:
             acc = test_metrics["accuracy"]

@@ -1,0 +1,239 @@
+"""Inference / serving surface — beyond-reference deployment path.
+
+The reference's only inference route is re-running the full Experiment with
+`--test_only` (reference run.py:580-615 + exp/experiment_classification.py:828),
+which drags the data loaders, provider registry, and training scaffolding into
+what should be a lightweight serving host. This module gives the framework a
+production surface: a `Predictor` that loads a trained checkpoint (or a
+self-contained exported bundle) and serves batched predictions.
+
+TPU-first design:
+
+- **Static shape buckets.** Everything under jit is compiled per shape, so
+  ragged request sizes would recompile per batch. Incoming batches are
+  zero-padded to the next power-of-two bucket (<= `max_batch`); XLA compiles
+  at most log2(max_batch)+1 programs total, and steady-state traffic hits
+  warm caches. Padded rows cannot contaminate real rows: every model here is
+  per-sample at inference (instance norm / BatchNorm running stats), which
+  `tests/test_serve.py` certifies by bit-comparing against unpadded apply.
+- **Chunking.** Requests larger than `max_batch` stream through the
+  `max_batch` program — one compile serves unbounded request sizes.
+- **Data-parallel mesh serving.** Pass a `jax.sharding.Mesh` with a 'data'
+  axis and each bucket is sharded over the devices (params replicated; the
+  Pallas shapelet/attention ops partition natively via their
+  custom_partitioning rules). Buckets round up to the data-axis size.
+- **Bundle export.** `save_bundle`/`load_bundle` write a self-contained
+  directory (config.json + msgpack weights) so a serving host needs no
+  training artifacts, dataset, or checkpoint-dir key reconstruction.
+
+Test-time semantics match the reference: `gating_value` (hard-gating
+threshold, reference model/InterpGN.py:48-50, applied only at test,
+exp:974) defaults to the config's value and can be overridden per call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sie_tpu.config import Config
+from sie_tpu.models import build_model
+from sie_tpu.train import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class PredictOutput:
+    """Numpy prediction bundle; interpretability fields are None for plain
+    DNN/EEGCNN models (mirrors ModelInfo, models/info.py)."""
+
+    logits: np.ndarray                      # (B, num_class) f32
+    probs: np.ndarray                       # (B, num_class) softmax
+    classes: np.ndarray                     # (B,) argmax
+    eta: Optional[np.ndarray] = None        # (B, 1) InterpGN gate utility
+    p: Optional[np.ndarray] = None          # (B, F) shapelet RBF probs
+    d: Optional[np.ndarray] = None          # (B, F) min distances
+    shapelet_preds: Optional[np.ndarray] = None
+    dnn_preds: Optional[np.ndarray] = None
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=1)
+
+
+def config_from_json(text: str) -> Config:
+    raw = json.loads(text)
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    kw = {}
+    for k, v in raw.items():
+        if k not in fields:        # forward-compat: ignore unknown keys
+            continue
+        if isinstance(v, list):    # JSON has no tuples
+            v = tuple(v)
+        kw[k] = v
+    return Config(**kw)
+
+
+_CFG = "cfg"   # predict() sentinel: take gating_value from the config
+
+
+def _zero_variables(model, cfg: Config) -> Dict[str, Any]:
+    """Checkpoint template with the right tree structure/shapes, built
+    without running the model (eval_shape traces abstractly). Always carries
+    a batch_stats entry — the Experiment's save path writes one even when
+    it's empty (train/experiment.py best[1]), and flax msgpack restore
+    requires exact key match."""
+    x = jnp.zeros((1, cfg.seq_len, cfg.enc_in), jnp.float32)
+    mask = jnp.ones((1, cfg.seq_len), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, mask, train=False))
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return {"params": zeros["params"],
+            "batch_stats": zeros.get("batch_stats", {})}
+
+
+class Predictor:
+    """Checkpoint -> jitted, bucket-padded batch inference."""
+
+    def __init__(self, cfg: Config, variables: Dict[str, Any],
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 max_batch: int = 256):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None and "data" in mesh.axis_names:
+            self._dp = mesh.shape["data"]
+        self.max_batch = max(max_batch, self._dp)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            variables = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P())),
+                variables)
+        self.variables = variables
+        self._compiled: Dict[tuple, Any] = {}
+
+    # ---- construction -----------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, ckpt_dir: Optional[str] = None,
+                        **kw) -> "Predictor":
+        """Load the best-params checkpoint the Experiment saved. `ckpt_dir`
+        defaults to the experiment's hyperparam-keyed directory
+        (cfg.checkpoint_dir/cfg.checkpoint_key(), reference exp:140-152).
+        cfg must carry the data-derived fields (seq_len/enc_in/num_class)."""
+        if ckpt_dir is None:
+            ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_key())
+        model = build_model(cfg)
+        template = jax.device_get(_zero_variables(model, cfg))
+        restored = ckpt.load_checkpoint(ckpt_dir, template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint at {ckpt.checkpoint_path(ckpt_dir)}")
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        return cls(cfg, variables, **kw)
+
+    # ---- bundle export ------------------------------------------------------
+    def save_bundle(self, path: str) -> None:
+        """Self-contained serving directory: config.json + weights."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(config_to_json(self.cfg))
+        ckpt.save_checkpoint(path, self.variables["params"],
+                             self.variables.get("batch_stats", {}))
+
+    @classmethod
+    def load_bundle(cls, path: str, **kw) -> "Predictor":
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = config_from_json(f.read())
+        return cls.from_checkpoint(cfg, ckpt_dir=path, **kw)
+
+    # ---- compiled programs --------------------------------------------------
+    def _bucket(self, b: int) -> int:
+        n = self._dp
+        while n < min(b, self.max_batch):
+            n *= 2
+        return min(n, self.max_batch)
+
+    def _program(self, bucket: int, gating_value):
+        key = (bucket, gating_value)
+        if key not in self._compiled:
+            def fwd(variables, x, mask):
+                logits, info = self.model.apply(
+                    variables, x, mask, train=False,
+                    gating_value=gating_value)
+                return logits.astype(jnp.float32), info
+
+            self._compiled[key] = jax.jit(fwd)
+        return self._compiled[key]
+
+    def warmup(self, batch_sizes=(1,)) -> None:
+        """Pre-compile the buckets the given request sizes hit (plus the
+        chunking program when any size exceeds max_batch)."""
+        buckets = {self._bucket(b) for b in batch_sizes}
+        buckets |= {self.max_batch} if any(
+            b > self.max_batch for b in batch_sizes) else set()
+        for bucket in sorted(buckets):
+            x = np.zeros((bucket, self.cfg.seq_len, self.cfg.enc_in),
+                         np.float32)
+            self.predict(x)
+
+    # ---- inference ------------------------------------------------------
+    def predict(self, x: np.ndarray, padding_mask: Optional[np.ndarray] = None,
+                gating_value=_CFG) -> PredictOutput:
+        """x: (B, seq_len, enc_in). Returns per-sample outputs for all B rows
+        regardless of bucket padding or chunking. gating_value defaults to
+        the config's (reference test-time semantics); pass None to disable."""
+        if gating_value is _CFG:
+            gating_value = self.cfg.gating_value
+        x = np.asarray(x, np.float32)
+        b = x.shape[0]
+        if b == 0:
+            z = np.zeros((0, self.cfg.num_class), np.float32)
+            return PredictOutput(logits=z, probs=z,
+                                 classes=np.zeros((0,), np.int64))
+        if padding_mask is None:
+            padding_mask = np.ones(x.shape[:2], np.float32)
+        pieces = []
+        for lo in range(0, b, self.max_batch):
+            pieces.append(self._predict_chunk(
+                x[lo: lo + self.max_batch],
+                padding_mask[lo: lo + self.max_batch], gating_value))
+        out = {k: (np.concatenate([p[k] for p in pieces])
+                   if pieces[0][k] is not None else None)
+               for k in pieces[0]}
+        return PredictOutput(**out)
+
+    def _predict_chunk(self, x, mask, gating_value) -> Dict[str, Any]:
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket > b:
+            x = np.concatenate(
+                [x, np.zeros((bucket - b,) + x.shape[1:], x.dtype)])
+            mask = np.concatenate(
+                [mask, np.ones((bucket - b,) + mask.shape[1:], mask.dtype)])
+        xd, md = jnp.asarray(x), jnp.asarray(mask)
+        if self.mesh is not None:
+            from sie_tpu.parallel.mesh import shard_batch
+            xd, md = shard_batch((xd, md), self.mesh)
+        logits, info = self._program(bucket, gating_value)(
+            self.variables, xd, md)
+        logits = np.asarray(jax.device_get(logits))[:b]
+        info = jax.device_get(info)
+        grab = lambda a: np.asarray(a)[:b] if a is not None else None
+        e = logits - logits.max(-1, keepdims=True)
+        probs = np.exp(e)
+        probs /= probs.sum(-1, keepdims=True)
+        return {
+            "logits": logits, "probs": probs,
+            "classes": np.argmax(logits, -1),
+            "eta": grab(info.eta), "p": grab(info.p), "d": grab(info.d),
+            "shapelet_preds": grab(info.shapelet_preds),
+            "dnn_preds": grab(info.dnn_preds),
+        }
