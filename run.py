@@ -172,6 +172,12 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--import_torch_ckpt", type=str, default=None,
+                   help="evaluate/export a reference-trained torch "
+                        "checkpoint.pth (reference utils/tools.py:34-38) on "
+                        "TPU: its state_dict is converted into this model's "
+                        "variables (sie_tpu/compat/torch_import.py) and "
+                        "training is skipped")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf; the "
                         "reference's closest analog is cudnn-determinism in "
@@ -282,7 +288,14 @@ def main(argv=None):
             from sie_tpu.train.experiment import Experiment
             experiment = Experiment(cfg, mesh=mesh)
 
-        if not args.test_only:
+        if args.import_torch_ckpt:
+            if not hasattr(experiment, "load_torch_checkpoint"):
+                raise SystemExit("--import_torch_ckpt covers the reference's "
+                                 "classification checkpoints only")
+            unused = experiment.load_torch_checkpoint(args.import_torch_ckpt)
+            print(f"imported torch checkpoint {args.import_torch_ckpt} "
+                  f"({len(unused)} source keys without a flax counterpart)")
+        elif not args.test_only:
             if experiment.has_checkpoint():
                 print("checkpoint exists — skipping training")
                 experiment.load_checkpoint()

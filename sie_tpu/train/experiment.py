@@ -172,6 +172,22 @@ class Experiment:
     def has_checkpoint(self) -> bool:
         return ckpt.has_checkpoint(self.checkpoint_dir)
 
+    def load_torch_checkpoint(self, path: str):
+        """Import a reference-trained ``checkpoint.pth``
+        (EarlyStopping.save_checkpoint, reference utils/tools.py:34-38) into
+        this experiment's state via compat/torch_import.py. Returns the list
+        of source keys without a flax counterpart (buffers etc.)."""
+        if self.state is None:
+            self._init_state()
+        from sie_tpu.compat.torch_import import load_torch_checkpoint
+        template = {"params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats)}
+        new_vars, unused = load_torch_checkpoint(path, self.cfg, template)
+        self.state = self.state.replace(
+            params=jax.device_put(new_vars["params"]),
+            batch_stats=jax.device_put(new_vars.get("batch_stats", {})))
+        return unused
+
     # ------------------------------------------------------------------
     def _eval_loader(self, loader, gating_value=None, collect=False):
         losses, preds, trues = [], [], []
