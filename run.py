@@ -172,6 +172,11 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--export_torch_ckpt", type=str, default=None,
+                   help="after test, write the trained weights as a "
+                        "reference-loadable torch checkpoint.pth "
+                        "(sie_tpu/compat/torch_export.py; load there with "
+                        "strict=False)")
     p.add_argument("--import_torch_ckpt", type=str, default=None,
                    help="evaluate/export a reference-trained torch "
                         "checkpoint.pth (reference utils/tools.py:34-38) on "
@@ -328,6 +333,21 @@ def main(argv=None):
                        "batch_stats": experiment.state.batch_stats}
                       ).save_bundle(bundle_dir)
             print(f"serving bundle exported to {bundle_dir}")
+
+        if args.export_torch_ckpt:
+            if not hasattr(experiment, "state"):
+                raise SystemExit("--export_torch_ckpt covers classification "
+                                 "models only")
+            from sie_tpu.compat.torch_export import save_torch_checkpoint
+            import jax
+            pth = (args.export_torch_ckpt if len(seeds) == 1 else
+                   args.export_torch_ckpt + f".seed{seed}")
+            save_torch_checkpoint(
+                pth, {"params": jax.device_get(experiment.state.params),
+                      "batch_stats": jax.device_get(
+                          experiment.state.batch_stats)},
+                experiment.cfg)
+            print(f"torch checkpoint exported to {pth}")
 
         if test_metrics and "accuracy" in test_metrics:
             acc = test_metrics["accuracy"]

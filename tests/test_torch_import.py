@@ -428,7 +428,9 @@ def test_cli_import_torch_checkpoint_reproduces_accuracy(tmp_path):
     pth = tmp_path / "checkpoint.pth"
     torch.save(_rename(tm.state_dict(), [("banks.", "shapelets.")]), str(pth))
 
-    results = run_cli.main(flags + ["--import_torch_ckpt", str(pth)])
+    out_pth = tmp_path / "exported.pth"
+    results = run_cli.main(flags + ["--import_torch_ckpt", str(pth),
+                                    "--export_torch_ckpt", str(out_pth)])
     _, _, metrics = results[0]
 
     with torch.no_grad():
@@ -436,6 +438,92 @@ def test_cli_import_torch_checkpoint_reproduces_accuracy(tmp_path):
     want = 100.0 * float((logits.argmax(-1).numpy()
                           == np.asarray(exp.test_data.y)).mean())
     assert metrics["accuracy"] == pytest.approx(want, abs=1e-6)
+
+    # import -> export must reproduce the original torch weights bitwise
+    back = torch.load(str(out_pth), map_location="cpu", weights_only=True)
+    sd = torch.load(str(pth), map_location="cpu", weights_only=True)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k].numpy(), sd[k].numpy(),
+                                      err_msg=k)
+
+
+# ------------------------------------------------- export (inverse) direction
+
+def _roundtrip_export(cfg, rng):
+    """export -> import must reproduce every leaf bitwise (certifies the
+    exporter against the numerics-tested importer)."""
+    from sie_tpu.compat.torch_export import export_state_dict
+    x = rng.normal(size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    _, variables = _init(cfg, x)
+    sd = export_state_dict(variables, cfg)
+    new_vars, unused = convert_state_dict(sd, cfg, variables)
+    assert unused == []
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = {tuple(str(k.key) for k in p): l for p, l in
+              jax.tree_util.tree_leaves_with_path(new_vars)}
+    for path, leaf in flat_a:
+        key = tuple(str(k.key) for k in path)
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[key],
+                                      err_msg=str(key))
+
+
+@pytest.mark.parametrize("kind", [
+    dict(model="SBM"),
+    dict(model="SBM", sbm_cls="bilinear"),
+    dict(model="SBM", sbm_cls="attention"),
+    dict(model="LTS"),
+    dict(model="InterpGN", dnn_type="FCN"),
+    dict(model="DNN", dnn_type="ResNet"),
+    dict(model="EEGCNN"),
+])
+def test_export_import_roundtrip_is_bitwise(rng, kind):
+    over = dict(BASE)
+    if kind["model"] == "EEGCNN":
+        over.update(seq_len=40, enc_in=6)
+        kind = dict(kind, d_model=16, eegcnn_layers=1, eegcnn_cnn_f1=4,
+                    eegcnn_cnn_f2=2, eegcnn_kernel1=7, eegcnn_kernel2=5,
+                    eegcnn_pool1=2, eegcnn_pool2=2, eegcnn_n_heads=2,
+                    eegcnn_d_ff=32)
+    _roundtrip_export(Config(**kind, **over), rng)
+
+
+@pytest.mark.parametrize("dnn", ["Transformer", "TimesNet", "PatchTST"])
+def test_export_import_roundtrip_encoder_backbones(rng, dnn):
+    kw = dict(d_model=16, n_heads=2, e_layers=2, d_ff=32,
+              use_fused_attention=False)
+    if dnn == "TimesNet":
+        kw.update(d_ff=12, e_layers=1, num_kernels=2, top_k=2)
+    _roundtrip_export(Config(model="DNN", dnn_type=dnn, **kw,
+                             **dict(BASE, seq_len=16)), rng)
+
+
+def test_exported_sbm_loads_into_torch_and_matches(rng):
+    from sie_tpu.compat.torch_export import export_state_dict
+    cfg = Config(model="SBM", **BASE)
+    x = rng.normal(size=(4, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    model, variables = _init(cfg, x)
+    sd = export_state_dict(variables, cfg)
+    tm = TorchSBM(cfg)
+    tm.load_state_dict({k.replace("shapelets.", "banks."): torch.from_numpy(
+        np.array(v)) for k, v in sd.items()}, strict=True)
+    tm.eval()
+    np.testing.assert_allclose(_apply(model, variables, x),
+                               tm(torch.tensor(x))[0].detach().numpy(),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_exporter_rejects_unconsumed_leaves(rng):
+    from sie_tpu.compat.torch_export import (TorchExportError,
+                                             export_state_dict)
+    cfg = Config(model="SBM", **BASE)
+    x = rng.normal(size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    _, variables = _init(cfg, x)
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"],
+                               rogue=np.zeros((2, 2), np.float32))
+    with pytest.raises(TorchExportError, match="did not consume"):
+        export_state_dict(variables, cfg)
 
 
 # ------------------------------------------------------------------- errors
