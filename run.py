@@ -295,8 +295,8 @@ def main(argv=None):
 
         if args.import_torch_ckpt:
             if not hasattr(experiment, "load_torch_checkpoint"):
-                raise SystemExit("--import_torch_ckpt covers the reference's "
-                                 "classification checkpoints only")
+                raise SystemExit("this experiment type does not support "
+                                 "--import_torch_ckpt")
             unused = experiment.load_torch_checkpoint(args.import_torch_ckpt)
             print(f"imported torch checkpoint {args.import_torch_ckpt} "
                   f"({len(unused)} source keys without a flax counterpart)")

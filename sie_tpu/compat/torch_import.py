@@ -365,3 +365,17 @@ def load_torch_checkpoint(path: str, cfg: Config, variables):
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(sd, cfg, variables)
+
+
+def load_into_state(state, cfg: Config, path: str):
+    """Import a checkpoint.pth into a Trainer state (classification and
+    regression experiments share this; the regression model is the same SBM
+    with num_class = nbins, reference exp_regression.py:95-102).
+    Returns (new_state, unused_source_keys)."""
+    import jax
+    template = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+    new_vars, unused = load_torch_checkpoint(path, cfg, template)
+    return state.replace(
+        params=jax.device_put(new_vars["params"]),
+        batch_stats=jax.device_put(new_vars.get("batch_stats", {}))), unused

@@ -179,13 +179,8 @@ class Experiment:
         of source keys without a flax counterpart (buffers etc.)."""
         if self.state is None:
             self._init_state()
-        from sie_tpu.compat.torch_import import load_torch_checkpoint
-        template = {"params": jax.device_get(self.state.params),
-                    "batch_stats": jax.device_get(self.state.batch_stats)}
-        new_vars, unused = load_torch_checkpoint(path, self.cfg, template)
-        self.state = self.state.replace(
-            params=jax.device_put(new_vars["params"]),
-            batch_stats=jax.device_put(new_vars.get("batch_stats", {})))
+        from sie_tpu.compat.torch_import import load_into_state
+        self.state, unused = load_into_state(self.state, self.cfg, path)
         return unused
 
     # ------------------------------------------------------------------

@@ -155,6 +155,15 @@ class RegressionExperiment:
     def has_checkpoint(self) -> bool:
         return ckpt.has_checkpoint(self.checkpoint_dir)
 
+    def load_torch_checkpoint(self, path: str):
+        """Import a reference-trained regression ``checkpoint.pth`` (same SBM
+        layout with num_class = nbins, reference exp_regression.py:95-102)."""
+        if self.state is None:
+            self._init_state()
+        from sie_tpu.compat.torch_import import load_into_state
+        self.state, unused = load_into_state(self.state, self.cfg, path)
+        return unused
+
     def _loader_loss(self, loader, gating_value=None, collect=False):
         losses, buf = [], {"x": [], "pred": [], "target": [], "p": [], "d": [],
                            "eta": [], "sp": []}

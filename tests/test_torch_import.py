@@ -526,6 +526,41 @@ def test_exporter_rejects_unconsumed_leaves(rng):
         export_state_dict(variables, cfg)
 
 
+@pytest.mark.slow
+def test_regression_import_matches_torch_logits(tmp_path):
+    """Reference regression checkpoints are the same SBM with num_class=nbins
+    (reference exp_regression.py:95-102): import one into the
+    RegressionExperiment and match the torch forward on the test split."""
+    from sie_tpu.data.synthetic import write_synthetic_monash
+    from sie_tpu.train.regression import RegressionExperiment, subsample_batch
+
+    write_synthetic_monash(str(tmp_path), "ToyReg", n_train=16, n_test=8,
+                           n_dims=2, length=30, seed=3)
+    cfg = Config(data="Monash", dataset="ToyReg", task_name="regression",
+                 data_root=str(tmp_path), model="SBM", num_shapelet=2,
+                 shapelet_lengths=(0.1, 0.3), dropout=0.0, amp=False,
+                 use_pallas=False, seed=0, batch_size=8,
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 result_dir=str(tmp_path / "result"))
+    exp = RegressionExperiment(cfg, verbose=False)
+    torch.manual_seed(2)
+    tm = TorchSBM(exp.cfg).eval()   # exp.cfg has num_class = nbins
+    pth = tmp_path / "checkpoint.pth"
+    torch.save(_rename(tm.state_dict(), [("banks.", "shapelets.")]), str(pth))
+    unused = exp.load_torch_checkpoint(str(pth))
+    assert unused == []
+
+    xs = subsample_batch(np.asarray(exp.test_data.x, np.float32))
+    got = np.asarray(exp.state.apply_fn(
+        {"params": exp.state.params}, jnp.asarray(xs), None,
+        train=False)[0])
+    want = tm(torch.tensor(xs))[0].detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    loss, _, _ = exp.test(save_csv=False)
+    assert np.isfinite(loss)
+
+
 # ------------------------------------------------------------------- errors
 
 def test_missing_and_mismatched_keys_raise(rng):
