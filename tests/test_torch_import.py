@@ -322,13 +322,45 @@ def test_patchtst_state_dict_covers_model(rng):
     _roundtrip(cfg, _RefPatchTST(cfg).state_dict(), rng)
 
 
-def test_eegcnn_state_dict_covers_model(rng):
+def _torch_eegcnn_forward(tm, cfg, x_np):
+    """Intended-semantics EEGCNN forward on the reference-layout twin
+    (reference model/eegcnn.py:67-108,219-247 with the transposition and
+    mask-pooling bugs fixed like sie_tpu/models/eegcnn.py; mean pooling)."""
+    import torch.nn.functional as F
+    from sie_tpu.models.layers import sinusoidal_embedding
+    m = tm.eegcnn
+    h = torch.as_tensor(x_np).transpose(1, 2).unsqueeze(1)   # (B, 1, C, T)
+    h = m.block1_bn1(m.block1_conv1(h))
+    h = F.elu(m.block1_bn2(m.block1_depthwise(h)))
+    h = F.avg_pool2d(h, (1, cfg.eegcnn_pool1))
+    h = F.elu(m.block2_bn(m.block2_conv2(m.block2_conv1(h))))
+    h = F.avg_pool2d(h, (1, cfg.eegcnn_pool2))
+    h = h.squeeze(2).transpose(1, 2)                         # (B, T_red, F2)
+    h = tm.cnn_projection(h)
+    pe = np.asarray(sinusoidal_embedding(h.shape[1], h.shape[2]), np.float32)
+    h = tm.transformer_encoder(h + torch.as_tensor(pe)[None])
+    return tm.classifier(h.mean(dim=1))
+
+
+def test_eegcnn_import_matches_torch_forward(rng):
     cfg = Config(model="EEGCNN", d_model=16, eegcnn_layers=1,
                  eegcnn_cnn_f1=4, eegcnn_cnn_f2=2, eegcnn_kernel1=7,
                  eegcnn_kernel2=5, eegcnn_pool1=2, eegcnn_pool2=2,
-                 eegcnn_n_heads=2, eegcnn_d_ff=32,
-                 **dict(BASE, seq_len=40, enc_in=6))
-    _roundtrip(cfg, _RefEEGCNNTransformer(cfg).state_dict(), rng)
+                 eegcnn_n_heads=2, eegcnn_d_ff=32, eegcnn_dropout1=0.0,
+                 eegcnn_dropout2=0.0, **dict(BASE, seq_len=40, enc_in=6))
+    tm = _RefEEGCNNTransformer(cfg)
+    x = rng.normal(size=(3, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    with torch.no_grad():                    # warm the BN running stats
+        for _ in range(3):
+            _torch_eegcnn_forward(tm, cfg, rng.normal(
+                size=x.shape).astype(np.float32))
+    tm.eval()
+    new_vars = _roundtrip(cfg, tm.state_dict(), rng)
+    model = build_model(cfg)
+    got = _apply(model, new_vars, x)
+    with torch.no_grad():
+        want = _torch_eegcnn_forward(tm, cfg, x).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
 def test_lts_and_nonlinear_sbm_heads(rng):
