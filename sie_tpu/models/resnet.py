@@ -49,11 +49,14 @@ class ResNet(nn.Module):
         cfg = self.config
         dt = cfg.compute_dtype
         h = x.astype(dt)  # (B, T, C)
-        h = nn.Conv(64, (7,), strides=(2,), padding="SAME", use_bias=False,
+        # explicit (3,3)/(1,1) pads = torch's padding=3 / padding=1 window
+        # alignment (reference ResNet.py:48,51); SAME keeps the same output
+        # length but shifts the stride-2 windows by one at even lengths
+        h = nn.Conv(64, (7,), strides=(2,), padding=((3, 3),), use_bias=False,
                     dtype=dt, name="conv1")(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(h)
         h = jax.nn.relu(h)
-        h = nn.max_pool(h, (3,), strides=(2,), padding="SAME")
+        h = nn.max_pool(h, (3,), strides=(2,), padding=((1, 1),))
         for i, f in enumerate((64, 128, 128)):
             h = BasicBlock(f, 1, dt, name=f"layer{i+1}")(h, train=train)
         h = jnp.mean(h, axis=1)

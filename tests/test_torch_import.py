@@ -310,9 +310,36 @@ def _roundtrip(cfg, sd, rng, expect_unused=()):
     return new_vars
 
 
-def test_resnet_state_dict_covers_model(rng):
-    cfg = Config(model="DNN", dnn_type="ResNet", **dict(BASE, seq_len=32))
-    _roundtrip(cfg, _RefResNet(cfg).state_dict(), rng)
+def _torch_resnet_forward(tm, x_np):
+    """(reference model/ResNet.py:68-81; the rearrange is a label swap, so
+    the conv runs over time with EEG channels as conv channels)."""
+    import torch.nn.functional as F
+    h = torch.as_tensor(x_np).transpose(1, 2)                # (B, C, T)
+    h = F.max_pool1d(F.relu(tm.bn1(tm.conv1(h))), 3, 2, 1)
+    for layer in (tm.layer1, tm.layer2, tm.layer3):
+        blk = layer[0]
+        identity = blk.shortcut(h) if hasattr(blk, "shortcut") else h
+        y = blk.bn2(blk.conv2(F.relu(blk.bn1(blk.conv1(h)))))
+        h = F.relu(y + identity)
+    return tm.fc(h.mean(-1))
+
+
+@pytest.mark.parametrize("t", [32, 31])   # even + odd stride-2 alignment
+def test_resnet_import_matches_torch_forward(rng, t):
+    cfg = Config(model="DNN", dnn_type="ResNet", **dict(BASE, seq_len=t))
+    tm = _RefResNet(cfg)
+    x = rng.normal(size=(3, t, cfg.enc_in)).astype(np.float32)
+    with torch.no_grad():                    # warm the BN running stats
+        for _ in range(3):
+            _torch_resnet_forward(tm, rng.normal(
+                size=x.shape).astype(np.float32))
+    tm.eval()
+    new_vars = _roundtrip(cfg, tm.state_dict(), rng)
+    model = build_model(cfg)
+    got = _apply(model, new_vars, x)
+    with torch.no_grad():
+        want = _torch_resnet_forward(tm, x).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
 def test_patchtst_state_dict_covers_model(rng):
