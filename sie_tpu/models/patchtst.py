@@ -124,8 +124,10 @@ class PatchTST(_PatchBase):
         xz = xz / std
 
         h = self._encode(xz, train)
-        patch_num = h.shape[2]
-        h = h.reshape(b, c * patch_num * cfg.d_model)
+        # flatten in the reference's (C, D, P) feature order (PatchTST.py:
+        # 199-205 permutes (B,C,P,D)->(B,C,D,P) before flattening) so
+        # imported/exported projection weights line up index-for-index
+        h = jnp.swapaxes(h, 2, 3).reshape(b, -1)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
         out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
         return out.astype(jnp.float32)

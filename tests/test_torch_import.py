@@ -342,11 +342,63 @@ def test_resnet_import_matches_torch_forward(rng, t):
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
-def test_patchtst_state_dict_covers_model(rng):
+def _ref_encoder_layer_forward(layer, x, n_heads, activation="gelu"):
+    """Post-norm attention + conv1d FFN on the key-layout twin (reference
+    Transformer_EncDec.py:27-51 + SelfAttention_Family.py:48-75,179-213)."""
+    import math
+    import torch.nn.functional as F
+    b, t, dm = x.shape
+    dk = dm // n_heads
+    att = layer.attention
+    split = lambda z: z.view(b, t, n_heads, dk)
+    scores = torch.einsum("blhe,bshe->bhls", split(att.query_projection(x)),
+                          split(att.key_projection(x)))
+    a = torch.softmax(scores / math.sqrt(dk), dim=-1)
+    o = torch.einsum("bhls,bshd->blhd", a,
+                     split(att.value_projection(x))).reshape(b, t, dm)
+    x = x + att.out_projection(o)
+    y = x = layer.norm1(x)
+    act = F.relu if activation == "relu" else F.gelu
+    y = act(layer.conv1(y.transpose(-1, 1)))
+    y = layer.conv2(y).transpose(-1, 1)
+    return layer.norm2(x + y)
+
+
+def _torch_patchtst_forward(tm, cfg, x_np):
+    """(reference model/PatchTST.py:180-207 + layers/Embed.py:163-190)."""
+    import torch.nn.functional as F
+    from sie_tpu.models.layers import sinusoidal_embedding
+    x = torch.as_tensor(x_np)
+    x = x - x.mean(1, keepdim=True)
+    x = x / torch.sqrt(torch.var(x, dim=1, keepdim=True, unbiased=False)
+                       + 1e-5)
+    x = x.permute(0, 2, 1)                             # (B, C, T)
+    patches = F.pad(x, (0, 8), mode="replicate").unfold(-1, 16, 8)
+    b, c, p, _ = patches.shape
+    h = tm.patch_embedding.value_embedding(patches.reshape(b * c, p, 16))
+    pe = np.asarray(sinusoidal_embedding(p, h.shape[-1]), np.float32)
+    h = h + torch.as_tensor(pe)[None]
+    for layer in tm.encoder.attn_layers:
+        h = _ref_encoder_layer_forward(layer, h, cfg.n_heads, cfg.activation)
+    h = tm.encoder.norm(h)
+    h = h.reshape(b, c, p, -1).permute(0, 1, 3, 2).reshape(b, -1)
+    return tm.projection(h)
+
+
+def test_patchtst_import_matches_torch_forward(rng):
     cfg = Config(model="DNN", dnn_type="PatchTST", d_model=16, n_heads=2,
                  e_layers=1, d_ff=32, use_fused_attention=False,
                  **dict(BASE, seq_len=16))
-    _roundtrip(cfg, _RefPatchTST(cfg).state_dict(), rng)
+    tm = _RefPatchTST(cfg).eval()
+    x = rng.normal(size=(3, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    new_vars = _roundtrip(cfg, tm.state_dict(), rng)
+    model = build_model(cfg)
+    got = _apply(model, new_vars, x)
+    with torch.no_grad():
+        want = _torch_patchtst_forward(tm, cfg, x).numpy()
+    # same accumulation-order sensitivity as the Transformer's flatten head
+    # (one observed order-dependent run exceeded 3e-4)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=4e-4)
 
 
 def _torch_eegcnn_forward(tm, cfg, x_np):
