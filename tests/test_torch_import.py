@@ -478,6 +478,70 @@ def test_lts_and_nonlinear_sbm_heads(rng):
     _roundtrip(cfg, sd_a, rng)
 
 
+def _torch_inception(block, img):
+    """mean over the parallel odd-kernel Conv2d branches
+    (reference layers/Conv_Blocks.py:5-30)."""
+    return sum(k(img) for k in block.kernels) / len(block.kernels)
+
+
+def _torch_times_block(blk, cfg, x):
+    """(reference model/TimesNet.py:36-68: data-dependent period fold)."""
+    import torch.nn.functional as F
+    b, t, n = x.shape
+    xf = torch.fft.rfft(x, dim=1)
+    fl = xf.abs().mean(0).mean(-1)
+    fl[0] = 0
+    _, top = torch.topk(fl, cfg.top_k)
+    periods = t // top.numpy()
+    weight = xf.abs().mean(-1)[:, top]
+    res = []
+    for i in range(cfg.top_k):
+        p = int(periods[i])
+        rows = -(-t // p)
+        out = torch.cat([x, torch.zeros(b, rows * p - t, n)], dim=1)
+        img = out.reshape(b, rows, p, n).permute(0, 3, 1, 2)
+        img = _torch_inception(blk.conv[2], F.gelu(_torch_inception(
+            blk.conv[0], img)))
+        res.append(img.permute(0, 2, 3, 1).reshape(b, -1, n)[:, :t])
+    stacked = torch.stack(res, dim=-1)
+    w = torch.softmax(weight, dim=1)
+    return (stacked * w[:, None, None, :]).sum(-1) + x
+
+
+def _torch_timesnet_forward(tm, cfg, x_np):
+    """(reference model/TimesNet.py:70-105,188-204, classification path)."""
+    import torch.nn.functional as F
+    from sie_tpu.models.layers import sinusoidal_embedding
+    x = torch.as_tensor(x_np)
+    h = tm.enc_embedding.value_embedding.tokenConv(
+        x.permute(0, 2, 1)).transpose(1, 2)
+    pe = np.asarray(sinusoidal_embedding(h.shape[1], h.shape[2]), np.float32)
+    h = h + torch.as_tensor(pe)[None]
+    for blk in tm.model:
+        h = tm.layer_norm(_torch_times_block(blk, cfg, h))
+    h = F.gelu(h)
+    return tm.projection(h.reshape(h.shape[0], -1))
+
+
+def test_timesnet_import_matches_torch_forward(rng):
+    """Identical weights through the importer: the shape-static shifted-matmul
+    period fold must reproduce the reference's data-dependent reshape + 2D
+    Inception conv, end to end."""
+    cfg = Config(model="DNN", dnn_type="TimesNet", d_model=8, d_ff=12,
+                 e_layers=2, num_kernels=2, top_k=2,
+                 **dict(BASE, seq_len=12))
+    tm = _RefTimesNet(cfg).eval()
+    x = rng.normal(size=(3, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    new_vars = _roundtrip(
+        cfg, tm.state_dict(), rng,
+        expect_unused=["enc_embedding.temporal_embedding.embed.weight"])
+    model = build_model(cfg)
+    got = _apply(model, new_vars, x)
+    with torch.no_grad():
+        want = _torch_timesnet_forward(tm, cfg, x).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=4e-4)
+
+
 def test_timesnet_conversion_and_inception_repack(rng):
     cfg = Config(model="DNN", dnn_type="TimesNet", d_model=8, d_ff=12,
                  e_layers=1, num_kernels=2, top_k=2,
