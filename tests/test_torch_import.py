@@ -299,7 +299,7 @@ class _RefEEGCNNTransformer(tn.Module):
 
 # ------------------------------------------------ structural coverage + runs
 
-def _roundtrip(cfg, sd, rng, expect_unused=()):
+def _roundtrip(cfg, sd, rng, expect_unused=(), ret_xy=False):
     x = rng.normal(size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
     model, variables = _init(cfg, x)
     new_vars, unused = convert_state_dict(sd, cfg, variables)
@@ -307,7 +307,7 @@ def _roundtrip(cfg, sd, rng, expect_unused=()):
     out = _apply(model, new_vars, x)
     assert out.shape == (2, cfg.num_class)
     assert np.all(np.isfinite(out))
-    return new_vars
+    return (new_vars, x, out) if ret_xy else new_vars
 
 
 def _torch_resnet_forward(tm, x_np):
@@ -442,7 +442,29 @@ def test_eegcnn_import_matches_torch_forward(rng):
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
-def test_lts_and_nonlinear_sbm_heads(rng):
+def _torch_predicates(sd, cfg, x_np):
+    """SBM/LTS predicate vector in torch from reference-layout arrays
+    (reference Shapelet.py:46-114; eval: STE max/min equals plain max/min,
+    and max of exp(-(eps d)^2) is exp(-(eps min_d)^2))."""
+    x = torch.as_tensor(x_np).transpose(1, 2)
+    x = (x - x.mean(-1, keepdim=True)) / (x.std(-1, keepdim=True) + 1e-8)
+    ps = []
+    for i, l in enumerate(bank_lengths(cfg)):
+        w = torch.as_tensor(np.array(sd[f"shapelets.{i}.weights"]))
+        win = x.unfold(2, l, 1).permute(0, 2, 1, 3).unsqueeze(2)
+        min_d = (win - w).abs().mean(-1).min(1).values       # (B, n, C)
+        thr_key = f"shapelets.{i}.threshold"
+        if thr_key in sd:                                    # LTS
+            thr = torch.as_tensor(np.array(sd[thr_key]))[0]
+            p = torch.sigmoid(thr - min_d)
+        else:
+            p = torch.exp(-(cfg.epsilon * min_d) ** 2)
+        ps.append(p.flatten(1))
+    return torch.cat(ps, -1)
+
+
+def test_lts_and_nonlinear_sbm_heads_match_torch_math(rng):
+    import torch.nn.functional as F
     base = dict(BASE)
     # LTS: per-bank (1, n, C) thresholds (reference Shapelet.py:90-114)
     cfg = Config(model="LTS", **base)
@@ -456,26 +478,49 @@ def test_lts_and_nonlinear_sbm_heads(rng):
             size=(nums[i], c, l)).astype(np.float32)
         sd[f"shapelets.{i}.threshold"] = rng.uniform(
             size=(1, nums[i], c)).astype(np.float32)
-    _roundtrip(cfg, sd, rng)
+    _, x, got = _roundtrip(cfg, sd, rng, ret_xy=True)
+    wl = torch.as_tensor(sd["output_layer.weight"])
+    with torch.no_grad():
+        p = _torch_predicates(sd, cfg, x)
+        np.testing.assert_allclose(got, (p @ wl.T).numpy(),
+                                   rtol=2e-4, atol=1e-5)
 
-    # bilinear head: nn.Bilinear(total, total, C, bias=False) weight
+    # bilinear head: linear + nn.Bilinear(total, total, C, bias=False)
+    # (reference Shapelet.py:172-174,201-202)
     cfg = Config(model="SBM", sbm_cls="bilinear", **base)
     sd_b = {k: v for k, v in sd.items() if "threshold" not in k}
     sd_b["output_bilinear.weight"] = rng.normal(
         size=(cfg.num_class, total, total)).astype(np.float32) * 0.01
-    _roundtrip(cfg, sd_b, rng)
+    _, x, got = _roundtrip(cfg, sd_b, rng, ret_xy=True)
+    with torch.no_grad():
+        p = _torch_predicates(sd_b, cfg, x)
+        want = p @ wl.T + torch.einsum(
+            "bi,kij,bj->bk", p,
+            torch.as_tensor(sd_b["output_bilinear.weight"]), p)
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-4, atol=2e-5)
 
-    # attention head: q/k 1->16 projections + positional embedding
-    # (reference Shapelet.py:117-131)
+    # attention head: q/k 1->16 projections + positional embedding, sdpa over
+    # the predicate scalars (reference Shapelet.py:117-131)
     cfg = Config(model="SBM", sbm_cls="attention", **base)
     sd_a = {k: v for k, v in sd.items() if "threshold" not in k}
-    for p in ("q_proj", "k_proj"):
-        sd_a[f"attention.{p}.weight"] = rng.normal(
+    for proj in ("q_proj", "k_proj"):
+        sd_a[f"attention.{proj}.weight"] = rng.normal(
             size=(16, 1)).astype(np.float32)
-        sd_a[f"attention.{p}.bias"] = rng.normal(size=(16,)).astype(np.float32)
+        sd_a[f"attention.{proj}.bias"] = rng.normal(
+            size=(16,)).astype(np.float32)
     sd_a["attention.pos_embed.weight"] = rng.normal(
         size=(total, 16)).astype(np.float32)
-    _roundtrip(cfg, sd_a, rng)
+    _, x, got = _roundtrip(cfg, sd_a, rng, ret_xy=True)
+    with torch.no_grad():
+        p = _torch_predicates(sd_a, cfg, x)
+        pos = torch.as_tensor(sd_a["attention.pos_embed.weight"])
+        lin = lambda name: F.linear(
+            p.unsqueeze(-1), torch.as_tensor(sd_a[f"attention.{name}.weight"]),
+            torch.as_tensor(sd_a[f"attention.{name}.bias"])) + pos
+        att = F.scaled_dot_product_attention(
+            lin("q_proj"), lin("k_proj"), p.unsqueeze(-1)).squeeze(-1)
+        np.testing.assert_allclose(got, (att @ wl.T).numpy(),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def _torch_inception(block, img):
