@@ -22,6 +22,8 @@ CONFIGS = [
          overrides=dict(num_shapelet=4)),
     dict(model="SBM", dnn_type="FCN", kind="eeg3",
          overrides=dict(num_shapelet=4)),
+    dict(model="LTS", dnn_type="FCN", kind="uea",
+         overrides=dict(num_shapelet=4)),
     dict(model="InterpGN", dnn_type="FCN", kind="eeg3",
          overrides=dict(num_shapelet=4, beta_schedule="cosine")),
     dict(model="InterpGN", dnn_type="Transformer", kind="eeg3",

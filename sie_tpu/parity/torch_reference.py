@@ -114,6 +114,39 @@ class TorchSBM(nn.Module):
             self.output_layer.weight.clamp_(0.0)
 
 
+class TorchLTSBank(TorchShapeletBank):
+    """Distance-threshold shapelet (reference Shapelet.py:90-114): learnable
+    |U[0,1)| threshold, straight-through argmin over windows,
+    p = sigmoid(threshold - min_d)."""
+
+    def __init__(self, n: int, c: int, length: int, stride: int, eps: float):
+        super().__init__(n, c, length, stride, eps)
+        self.threshold = nn.Parameter(torch.rand(1, n, c).abs())
+
+    def forward(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
+        win = x.unfold(2, self.length, self.stride)      # (B, C, W, L)
+        win = win.permute(0, 2, 1, 3).unsqueeze(2)       # (B, W, 1, C, L)
+        d = (win - self.weights).abs().mean(-1)          # (B, W, n, C)
+        hard = torch.zeros_like(d).scatter_(1, d.argmin(1, keepdim=True), 1.0)
+        soft = torch.softmax(-d, dim=1)                  # softmin
+        min_d = ((hard + soft - soft.detach()) * d).sum(1)
+        p = torch.sigmoid(self.threshold - min_d)
+        return p.flatten(1), d.min(1).values.flatten(1)
+
+
+class TorchLTS(TorchSBM):
+    """(reference Shapelet.py:241-263: same SBM skeleton/losses, threshold
+    banks; the experiment passes the same 6-bank config, exp:253-268)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        nums = cfg.num_shapelets_per_bank
+        self.banks = nn.ModuleList(
+            TorchLTSBank(nums[i], cfg.enc_in, l,
+                         _stride(cfg.seq_len, l), cfg.epsilon)
+            for i, l in enumerate(_bank_lengths(cfg)))
+
+
 class TorchFCN(nn.Module):
     """(reference model/FullyConvNet.py:7-59)."""
 
@@ -235,11 +268,13 @@ class TorchInterpGN(nn.Module):
 def build_torch_model(cfg: Config) -> nn.Module:
     if cfg.model == "SBM":
         return TorchSBM(cfg)
+    if cfg.model == "LTS":
+        return TorchLTS(cfg)
     if cfg.model == "InterpGN":
         return TorchInterpGN(cfg)
     if cfg.model == "DNN":
         return {"FCN": TorchFCN, "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
-    raise ValueError(f"parity harness covers SBM/InterpGN/DNN, not {cfg.model}")
+    raise ValueError(f"parity harness covers SBM/LTS/InterpGN/DNN, not {cfg.model}")
 
 
 def _compute_beta(epoch: int, max_epoch: int, schedule: str) -> float:

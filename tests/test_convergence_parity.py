@@ -21,6 +21,16 @@ def test_sbm_convergence_parity():
 
 
 @pytest.mark.slow
+def test_lts_convergence_parity():
+    r = run_parity("LTS", kind="uea", seeds=(0, 1), epochs=25, batch_size=16,
+                   overrides=dict(num_shapelet=4))
+    # observed: torch (100.0, 98.44) vs sie_tpu (100.0, 98.44), delta 0.0
+    assert r["torch_mean"] > 80.0, r
+    assert r["sie_tpu_mean"] > 80.0, r
+    assert abs(r["delta_pts"]) <= 10.0, r
+
+
+@pytest.mark.slow
 def test_interpgn_fcn_convergence_parity():
     r = run_parity("InterpGN", dnn_type="FCN", kind="eeg3", seeds=(0, 1),
                    epochs=25, batch_size=16,
