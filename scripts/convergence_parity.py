@@ -24,6 +24,12 @@ CONFIGS = [
          overrides=dict(num_shapelet=4)),
     dict(model="LTS", dnn_type="FCN", kind="uea",
          overrides=dict(num_shapelet=4)),
+    dict(model="EEGCNN", dnn_type="FCN", kind="eeg3",
+         overrides=dict(eegcnn_kernel1=15, eegcnn_kernel2=7, eegcnn_pool1=2,
+                        eegcnn_pool2=2, eegcnn_cnn_f1=8, eegcnn_cnn_f2=2,
+                        d_model=32, eegcnn_layers=1, eegcnn_n_heads=4,
+                        eegcnn_d_ff=64, eegcnn_dropout1=0.0,
+                        eegcnn_dropout2=0.0)),
     dict(model="InterpGN", dnn_type="FCN", kind="eeg3",
          overrides=dict(num_shapelet=4, beta_schedule="cosine")),
     dict(model="InterpGN", dnn_type="Transformer", kind="eeg3",

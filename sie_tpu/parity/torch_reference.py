@@ -235,6 +235,61 @@ class TorchTransformer(nn.Module):
         return self.projection(h.reshape(h.shape[0], -1))
 
 
+class TorchEEGCNN(nn.Module):
+    """EEGNet-style CNN + torch TransformerEncoder, intended semantics
+    (reference model/eegcnn.py:30-247 with the transposed-input and
+    mask-length bugs fixed like sie_tpu/models/eegcnn.py; mean pooling)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        self.cfg = cfg
+        f1, d = cfg.eegcnn_cnn_f1, cfg.eegcnn_cnn_f2
+        f2 = f1 * d
+        self.block1_conv1 = nn.Conv2d(1, f1, (1, cfg.eegcnn_kernel1),
+                                      padding="same", bias=False)
+        self.block1_bn1 = nn.BatchNorm2d(f1)
+        self.block1_depthwise = nn.Conv2d(f1, d * f1, (cfg.enc_in, 1),
+                                          groups=f1, bias=False)
+        self.block1_bn2 = nn.BatchNorm2d(d * f1)
+        self.block2_conv1 = nn.Conv2d(d * f1, d * f1,
+                                      (1, cfg.eegcnn_kernel2),
+                                      padding="same", groups=d * f1,
+                                      bias=False)
+        self.block2_conv2 = nn.Conv2d(d * f1, f2, 1, bias=False)
+        self.block2_bn = nn.BatchNorm2d(f2)
+        self.drop1 = nn.Dropout(cfg.eegcnn_dropout1)
+        self.cnn_projection = (nn.Linear(f2, cfg.d_model)
+                               if cfg.d_model != f2 else nn.Identity())
+        layer = nn.TransformerEncoderLayer(cfg.d_model, cfg.eegcnn_n_heads,
+                                           cfg.eegcnn_d_ff,
+                                           cfg.eegcnn_dropout2,
+                                           batch_first=True)
+        self.encoder = nn.TransformerEncoder(layer, cfg.eegcnn_layers)
+        self.drop2 = nn.Dropout(cfg.eegcnn_dropout2)
+        self.classifier = nn.Linear(cfg.d_model, cfg.num_class)
+        self._pe: Optional[torch.Tensor] = None
+
+    def forward(self, x, mask=None, gating_value=None):
+        cfg = self.cfg
+        h = x.transpose(1, 2).unsqueeze(1)                  # (B, 1, C, T)
+        h = self.block1_bn1(self.block1_conv1(h))
+        h = F.elu(self.block1_bn2(self.block1_depthwise(h)))
+        h = self.drop1(F.avg_pool2d(h, (1, cfg.eegcnn_pool1)))
+        h = F.elu(self.block2_bn(self.block2_conv2(self.block2_conv1(h))))
+        h = self.drop1(F.avg_pool2d(h, (1, cfg.eegcnn_pool2)))
+        h = h.squeeze(2).transpose(1, 2)                    # (B, T_red, F2)
+        h = self.cnn_projection(h)
+        if self._pe is None or self._pe.shape[0] != h.shape[1]:
+            from sie_tpu.models.layers import sinusoidal_embedding
+            self._pe = torch.tensor(
+                np.asarray(sinusoidal_embedding(h.shape[1], h.shape[2]),
+                           np.float32))
+        h = self.drop2(h + self._pe[None])
+        h = self.encoder(h)
+        logits = self.classifier(h.mean(dim=1))
+        return logits, {"loss": torch.zeros(1)}
+
+
 class TorchInterpGN(nn.Module):
     """(reference model/InterpGN.py:22-66)."""
 
@@ -272,9 +327,12 @@ def build_torch_model(cfg: Config) -> nn.Module:
         return TorchLTS(cfg)
     if cfg.model == "InterpGN":
         return TorchInterpGN(cfg)
+    if cfg.model == "EEGCNN":
+        return TorchEEGCNN(cfg)
     if cfg.model == "DNN":
         return {"FCN": TorchFCN, "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
-    raise ValueError(f"parity harness covers SBM/LTS/InterpGN/DNN, not {cfg.model}")
+    raise ValueError(
+        f"parity harness covers SBM/LTS/InterpGN/EEGCNN/DNN, not {cfg.model}")
 
 
 def _compute_beta(epoch: int, max_epoch: int, schedule: str) -> float:

@@ -30,6 +30,22 @@ def test_lts_convergence_parity():
     assert abs(r["delta_pts"]) <= 10.0, r
 
 
+EEGCNN_KW = dict(eegcnn_kernel1=15, eegcnn_kernel2=7, eegcnn_pool1=2,
+                 eegcnn_pool2=2, eegcnn_cnn_f1=8, eegcnn_cnn_f2=2, d_model=32,
+                 eegcnn_layers=1, eegcnn_n_heads=4, eegcnn_d_ff=64,
+                 eegcnn_dropout1=0.0, eegcnn_dropout2=0.0)
+
+
+@pytest.mark.slow
+def test_eegcnn_convergence_parity():
+    r = run_parity("EEGCNN", kind="eeg3", seeds=(0, 1), epochs=25,
+                   batch_size=16, overrides=dict(EEGCNN_KW))
+    # observed: both frameworks 100.0 on every seed (also at noise=3.0)
+    assert r["torch_mean"] > 80.0, r
+    assert r["sie_tpu_mean"] > 80.0, r
+    assert abs(r["delta_pts"]) <= 10.0, r
+
+
 @pytest.mark.slow
 def test_interpgn_fcn_convergence_parity():
     r = run_parity("InterpGN", dnn_type="FCN", kind="eeg3", seeds=(0, 1),
