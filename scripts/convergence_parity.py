@@ -13,6 +13,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# This certification is defined as a CPU A/B (torch-CPU vs sie_tpu-CPU, f32);
+# also, the container sitecustomize force-registers the axon TPU backend,
+# which hangs every jax op when the relay is down — pin cpu before any use.
+jax.config.update("jax_platforms", "cpu")
+
 from sie_tpu.parity.harness import run_parity  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
