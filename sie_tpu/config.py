@@ -135,9 +135,10 @@ class Config:
     # attention mechanism (sie_tpu/models/extra/attention_variants.py).
     # Beyond-reference wiring: the reference defines DSAttention /
     # ProbAttention / ReformerLayer but never reaches them from any model.
-    use_fused_attention: bool = True   # fused full-row attention kernel
-    # (ops/pallas/attention_pallas.py): default path for T<=4096; exact
-    # softmax + in-kernel dropout; interpret-mode off-TPU
+    use_fused_attention: bool = True   # fused attention kernel
+    # (ops/pallas/attention_pallas.py): full-row variant for T<=4096,
+    # kv-blocked online-softmax variant beyond; exact softmax + in-kernel
+    # dropout; interpret-mode off-TPU
     fuse_short_banks: bool = False     # fuse stride-1 shapelet banks into one
     # grouped Pallas launch (opt-in: measured SLOWER at CHISCO shapes — 11.6
     # vs 10.1 ms for banks {43,85}; register pressure scales with total n,

@@ -99,7 +99,9 @@ class FullAttentionLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
-    fused_max_len: int = 4096   # VMEM bound for the K/V-resident kernel
+    # NOTE: no length gate — past _FULL_ROW_MAX_T (4096) the kernel itself
+    # dispatches to its kv-blocked online-softmax variant (same op, same
+    # dropout hash), so the fused path has no sequence-length cliff.
     causal: bool = False        # TriangularCausalMask (mask_flag=True path,
     # reference SelfAttention_Family.py:63-67 + utils/masking.py:4-13)
 
@@ -137,7 +139,6 @@ class FullAttentionLayer(nn.Module):
                      and jax.default_backend() == "tpu")
         use_fused = (self.use_fused and not use_flash and not self.causal
                      and q_in.shape[1] == k_in.shape[1]
-                     and q_in.shape[1] <= self.fused_max_len
                      and dk <= 128)
         if use_flash:
             out = self._flash(q, k, v, dk)

@@ -30,6 +30,19 @@ This kernel exploits the fact that at T<=2k a FULL key row fits in VMEM:
 Key padding is masked with a finite -1e30 (padded-query rows then softmax to
 uniform garbage and are sliced off host-side; their backward contribution is
 zero because the padded dO rows are zero).
+
+Long sequences (T > _FULL_ROW_MAX_T, where a full key row would blow the
+VMEM budget) dispatch to a kv-blocked ONLINE-softmax variant of the same op
+(NEXT_STEPS r3 item: lift the T<=4096 bound): forward streams K/V blocks
+with the classic running-max/rescale recurrence and saves the row LSE;
+backward recomputes exact probs per block from the LSE (two launches: dQ
+accumulates over kv blocks in scratch, dK/dV accumulate over q blocks in
+their j-constant output blocks, with delta = rowsum(dO*O) precomputed in
+XLA). The dropout hash is keyed on GLOBAL (row, col), so the mask is
+identical across the full-row and blocked variants and reconstructible
+host-side regardless of block size. No reference workload needs this regime
+(CHISCO T=845, UEA max ~18k hits the stride rule first); it exists so the
+kernel has no sequence-length cliff.
 """
 
 from __future__ import annotations
@@ -44,29 +57,33 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _score_block(q, k, scale, t_real):
-    """(BQ, T_pad) masked, scaled scores for one q block. bf16 inputs round
-    the raw scores to bf16 (torch autocast bmm parity) before the f32
-    softmax."""
+def _score_block(q, k, scale, t_real, col0=0):
+    """(BQ, BK) masked, scaled scores for one q block against one key block
+    whose first key has global column col0 (0 for the full-row kernel). bf16
+    inputs round the raw scores to bf16 (torch autocast bmm parity) before
+    the f32 softmax."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if q.dtype == jnp.bfloat16:
         s = s.astype(jnp.bfloat16).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
     return jnp.where(col < t_real, s * scale, _NEG)
 
 
-def _dropout_mask(shape, rate, seed, i, row0):
+def _dropout_mask(shape, rate, seed, i, row0, col0=0):
     """Counter-based Bernoulli(1-rate) keep mask: murmur3-finalizer hash of
-    (seed, bh-program, GLOBAL q row, key col). Global row indexing makes the
-    mask invariant to the q-block size, which differs between the forward and
-    backward launches (VMEM-budget driven). Unlike pltpu.prng_* this is
+    (seed, bh-program, GLOBAL q row, GLOBAL key col). Global indexing makes
+    the mask invariant to the block size, which differs between the forward
+    and backward launches (VMEM-budget driven) AND between the full-row and
+    kv-blocked variants. Unlike pltpu.prng_* this is
     bit-identical between the compiled kernel and the TPU interpreter (whose
     prng stub returns zeros), which is what lets the forward and backward
     kernels regenerate the same mask AND lets the CPU suite test dropout."""
     u32 = lambda z: jnp.uint32(z)
-    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0.astype(jnp.uint32)
-    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    row = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           + jnp.asarray(row0).astype(jnp.uint32))
+    col = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+           + jnp.asarray(col0).astype(jnp.uint32))
     key = (seed.astype(jnp.uint32) * u32(0x9E3779B9)
            ^ i.astype(jnp.uint32) * u32(0x85EBCA6B))
     x = (row * u32(0x27D4EB2F) + col) ^ key
@@ -122,6 +139,215 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     dsl = ds.astype(q.dtype)                           # bf16 MXU when amp
     dq_ref[0] = mm(dsl, k, ((1,), (0,))).astype(dq_ref.dtype)
     dk_ref[0] += mm(dsl, q, ((0,), (0,)))
+
+
+# --------------------------------------------------------------------------
+# kv-blocked online-softmax variant (T > _FULL_ROW_MAX_T). Square (BLK, BLK)
+# score blocks; BQ == BK == blk keeps the padding/grid arithmetic trivial.
+# LSE and delta ride in (T_pad, BH) layout so their (blk, 1) kernel blocks
+# land on the SUBLANE axis (directly usable against (BQ, BK) score rows —
+# a (1, blk) lane layout would need an in-kernel relayout transpose).
+# --------------------------------------------------------------------------
+
+_FULL_ROW_MAX_T = 4096   # above this, full K/V rows + (BQ, T_pad) live
+# intermediates exceed the VMEM budget — stream kv blocks instead
+_KV_BLOCK = 512
+
+
+def _fwd_kv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                   m_scr, l_scr, acc_scr, *,
+                   scale: float, t_real: int, rate: float, blk: int,
+                   nkv: int):
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, m_scr.dtype)
+        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = _score_block(q, k, scale, t_real, col0=jk * blk)      # (BQ, BK) f32
+    m_prev, l_prev = m_scr[:, :1], l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)        # exp(-inf - finite) = 0 at jk == 0
+    p = jnp.exp(s - m_new)                 # masked cols: exp(-1e30 - m) = 0
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if rate > 0.0:   # drop AFTER the l update: the softmax denominator is
+        # over undropped probs (matches the full-row kernel / torch semantics)
+        keep = _dropout_mask(p.shape, rate, seed_ref[0], pl.program_id(0),
+                             pl.program_id(1) * blk, jk * blk)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    acc_scr[...] = alpha * acc_scr[...] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jk == nkv - 1)
+    def _():
+        # l >= 1 for every row: col 0 is always unmasked, and padded-q rows
+        # score 0 on real cols (zero-padded q) so their max-shifted p is 1.
+        o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        lse_ref[...] = m_scr[:, :1] + jnp.log(l_scr[:, :1])
+
+
+def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                  dq_ref, acc_scr, *,
+                  scale: float, t_real: int, rate: float, blk: int,
+                  nkv: int):
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = _score_block(q, k, scale, t_real, col0=jk * blk)
+    a = jnp.exp(s - lse_ref[...])          # exact probs via the saved LSE
+    mm = lambda x, y, dims: jax.lax.dot_general(
+        x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
+    dA = mm(do, v, ((1,), (1,)))                        # (BQ, BK) f32
+    if rate > 0.0:
+        keep = _dropout_mask(a.shape, rate, seed_ref[0], pl.program_id(0),
+                             pl.program_id(1) * blk, jk * blk)
+        dA = jnp.where(keep, dA * (1.0 / (1.0 - rate)), 0.0)
+    # rowsum over ALL cols of (dA*a) equals delta = rowsum(dO*O) (see module
+    # docstring derivation in the full-row backward), so the softmax backward
+    # is exact per kv block given the per-row delta input:
+    ds = (a * (dA - dl_ref[...])) * scale
+    acc_scr[...] += mm(ds.astype(q.dtype), k, ((1,), (0,)))
+
+    @pl.when(jk == nkv - 1)
+    def _():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                   dk_ref, dv_ref, *,
+                   scale: float, t_real: int, rate: float, blk: int):
+    jk, jq = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
+        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = _score_block(q, k, scale, t_real, col0=jk * blk)
+    a = jnp.exp(s - lse_ref[...])
+    mm = lambda x, y, dims: jax.lax.dot_general(
+        x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
+    inv = 1.0 / (1.0 - rate)
+    dA = mm(do, v, ((1,), (1,)))
+    if rate > 0.0:
+        keep = _dropout_mask(a.shape, rate, seed_ref[0], pl.program_id(0),
+                             jq * blk, jk * blk)
+        ad = jnp.where(keep, a * inv, 0.0)
+        dA = jnp.where(keep, dA * inv, 0.0)
+    else:
+        ad = a
+    dv_ref[0] += mm(ad.astype(do.dtype), do, ((0,), (0,)))
+    ds = (a * (dA - dl_ref[...])) * scale
+    dk_ref[0] += mm(ds.astype(q.dtype), q, ((0,), (0,)))
+
+
+def _kv_specs(blk, dkp):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qs = pl.BlockSpec((1, blk, dkp), lambda i, jq, jk: (i, jq, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, blk, dkp), lambda i, jq, jk: (i, jk, 0),
+                      memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((blk, 1), lambda i, jq, jk: (jq, i),
+                        memory_space=pltpu.VMEM)
+    return seed_spec, qs, ks, rows
+
+
+def _attn_fwd_blocked_impl(q, k, v, seed, scale, rate, interpret, blk):
+    bh, t, dk = q.shape
+    t_pad = -(-t // blk) * blk
+    n = t_pad // blk
+    dkp = 128 if dk < 128 else dk
+    qp, kp, vp = (_pad_t(z, t_pad, dkp) for z in (q, k, v))
+    seed_spec, qs, ks, rows = _kv_specs(blk, dkp)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kv_kernel, scale=scale, t_real=t, rate=rate,
+                          blk=blk, nkv=n),
+        out_shape=(jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
+                   jax.ShapeDtypeStruct((t_pad, bh), jnp.float32)),
+        grid=(bh, n, n),
+        in_specs=[seed_spec, qs, ks, ks],
+        out_specs=(qs, rows),
+        scratch_shapes=[pltpu.VMEM((blk, 128), jnp.float32),
+                        pltpu.VMEM((blk, 128), jnp.float32),
+                        pltpu.VMEM((blk, dkp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * dkp,
+            bytes_accessed=2 * 4 * bh * t_pad * dkp * n,
+            transcendentals=bh * t_pad * t_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp)
+    return out[:, :t, :dk], lse
+
+
+def _attn_bwd_blocked_impl(q, k, v, seed, o, lse, g, scale, rate, interpret,
+                           blk):
+    bh, t, dk = q.shape
+    t_pad = -(-t // blk) * blk
+    n = t_pad // blk
+    dkp = 128 if dk < 128 else dk
+    qp, kp, vp, gp = (_pad_t(z, t_pad, dkp) for z in (q, k, v, g))
+    # delta_i = sum_d dO_id * O_id == rowsum(dA * a) (the full-row kernel's
+    # in-block reduction) — per-row, so XLA computes it once up front.
+    delta = jnp.pad(
+        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1),
+        ((0, 0), (0, t_pad - t))).T                       # (T_pad, BH)
+    seed_spec, qs, ks, rows = _kv_specs(blk, dkp)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kv_kernel, scale=scale, t_real=t, rate=rate,
+                          blk=blk, nkv=n),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
+        grid=(bh, n, n),
+        in_specs=[seed_spec, qs, ks, ks, qs, rows, rows],
+        out_specs=qs,
+        scratch_shapes=[pltpu.VMEM((blk, dkp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t_pad * t_pad * dkp,
+            bytes_accessed=4 * 4 * bh * t_pad * dkp * n,
+            transcendentals=bh * t_pad * t_pad),
+        **common,
+    )(seed_arr, qp, kp, vp, gp, lse, delta)
+    # second launch: kv blocks outer, q blocks inner — dK/dV accumulate in
+    # their (grid-)j-constant output blocks exactly like the full-row bwd.
+    dq_idx = lambda i, jk, jq: (i, jq, 0)
+    dk_idx = lambda i, jk, jq: (i, jk, 0)
+    row_idx = lambda i, jk, jq: (jq, i)
+    qs2 = pl.BlockSpec((1, blk, dkp), dq_idx, memory_space=pltpu.VMEM)
+    ks2 = pl.BlockSpec((1, blk, dkp), dk_idx, memory_space=pltpu.VMEM)
+    rows2 = pl.BlockSpec((blk, 1), row_idx, memory_space=pltpu.VMEM)
+    f32 = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    dkk, dv = pl.pallas_call(
+        functools.partial(_dkv_kv_kernel, scale=scale, t_real=t, rate=rate,
+                          blk=blk),
+        out_shape=(f32((bh, t_pad, dkp)), f32((bh, t_pad, dkp))),
+        grid=(bh, n, n),
+        in_specs=[seed_spec, qs2, ks2, ks2, qs2, rows2, rows2],
+        out_specs=(ks2, ks2),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * t_pad * t_pad * dkp,
+            bytes_accessed=4 * 4 * bh * t_pad * dkp * n,
+            transcendentals=bh * t_pad * t_pad),
+        **common,
+    )(seed_arr, qp, kp, vp, gp, lse, delta)
+    return (dq[:, :t, :dk], dkk[:, :t, :dk].astype(k.dtype),
+            dv[:, :t, :dk].astype(v.dtype))
 
 
 def _interpret_default() -> bool:
@@ -234,15 +460,94 @@ def _attn_bwd_cp(scale: float, rate: float, interpret: bool):
     return f
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.lru_cache(maxsize=None)
+def _attn_fwd_blocked_cp(scale: float, rate: float, interpret: bool,
+                         blk: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k, v, seed):
+        return _attn_fwd_blocked_impl(q, k, v, seed, scale, rate, interpret,
+                                      blk)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        return (mesh, impl, tuple(r.sharding for r in result_shape),
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        qs = arg_shapes[0].sharding.spec
+        b = qs[0] if len(qs) else None
+        return (NamedSharding(mesh, P(b, None, None)),
+                NamedSharding(mesh, P(None, b)))   # lse is (T_pad, BH)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="B T D, B T D, B T D, z -> B T D, P B",
+        need_replication_factors=("T", "D", "z", "P"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
+                         blk: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k, v, seed, o, lse, g):
+        return _attn_bwd_blocked_impl(q, k, v, seed, o, lse, g, scale, rate,
+                                      interpret, blk)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        return (mesh, impl, tuple(r.sharding for r in result_shape),
+                tuple(a.sharding for a in arg_shapes))
+
+    def infer(mesh, arg_shapes, shape):
+        qs = arg_shapes[0].sharding.spec
+        s = NamedSharding(mesh, P(qs[0] if len(qs) else None, None, None))
+        return (s, s, s)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("B T D, B T D, B T D, z, B T D, P B, B T D"
+                       " -> B T D, B T D, B T D"),
+        need_replication_factors=("T", "D", "z", "P"),
+    )
+    return f
+
+
+def _blocked(t: int, block_kv) -> bool:
+    return block_kv is not None or t > _FULL_ROW_MAX_T
+
+
+def _blk(block_kv) -> int:
+    return int(block_kv) if block_kv else _KV_BLOCK
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     seed: jax.Array, scale: float, rate: float = 0.0,
-                    interpret: bool | None = None) -> jax.Array:
+                    interpret: bool | None = None,
+                    block_kv: int | None = None) -> jax.Array:
     """q/k/v: (BH, T, dk) -> (BH, T, dk). Exact softmax(scale*QK^T)V with
     optional attention dropout. seed: (1,) int32 (ignored when rate == 0).
-    GSPMD-partitionable over the leading (batch*heads) dim."""
+    GSPMD-partitionable over the leading (batch*heads) dim.
+
+    T <= _FULL_ROW_MAX_T runs the full-row kernel; longer sequences stream
+    K/V via the kv-blocked online-softmax variant. block_kv forces the
+    blocked variant with the given block size (tests; perf A/B)."""
     if interpret is None:
         interpret = _interpret_default()
+    if _blocked(q.shape[1], block_kv):
+        out, _ = _attn_fwd_blocked_cp(scale, rate, interpret,
+                                      _blk(block_kv))(q, k, v, seed)
+        return out
     return _attn_fwd_cp(scale, rate, interpret)(q, k, v, seed)
 
 
@@ -270,18 +575,27 @@ def _attn_fwd_impl(q, k, v, seed, scale, rate, interpret):
     return out[:, :t, :dk]
 
 
-def _fwd_rule(q, k, v, seed, scale, rate, interpret):
+def _fwd_rule(q, k, v, seed, scale, rate, interpret, block_kv):
     if interpret is None:
         interpret = _interpret_default()
+    if _blocked(q.shape[1], block_kv):
+        out, lse = _attn_fwd_blocked_cp(scale, rate, interpret,
+                                        _blk(block_kv))(q, k, v, seed)
+        return out, (q, k, v, seed, out, lse)
     return (_attn_fwd_cp(scale, rate, interpret)(q, k, v, seed),
-            (q, k, v, seed))
+            (q, k, v, seed, None, None))
 
 
-def _bwd_rule(scale, rate, interpret, res, g):
-    q, k, v, seed = res
+def _bwd_rule(scale, rate, interpret, block_kv, res, g):
+    q, k, v, seed, o, lse = res
     if interpret is None:
         interpret = _interpret_default()
-    dq, dkk, dv = _attn_bwd_cp(scale, rate, interpret)(q, k, v, seed, g)
+    if _blocked(q.shape[1], block_kv):
+        dq, dkk, dv = _attn_bwd_blocked_cp(scale, rate, interpret,
+                                           _blk(block_kv))(q, k, v, seed, o,
+                                                           lse, g)
+    else:
+        dq, dkk, dv = _attn_bwd_cp(scale, rate, interpret)(q, k, v, seed, g)
     import numpy as np
     seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)  # int primal
     return dq, dkk, dv, seed_ct

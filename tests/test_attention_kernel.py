@@ -134,6 +134,128 @@ def test_padded_tail_is_exact():
                                atol=5e-6, rtol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# kv-blocked online-softmax variant (T > 4096 in production; forced here via
+# block_kv so the CPU interpreter exercises it at test sizes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t,dk,blk", [(64, 16, 64), (150, 32, 64),
+                                      (129, 16, 32)])
+def test_blocked_forward_matches_naive(t, dk, blk):
+    rng = np.random.default_rng(10)
+    bh = 3
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, jnp.zeros((1,), jnp.int32), scale, 0.0,
+                          block_kv=blk)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
+
+
+def test_blocked_matches_full_row():
+    """Same inputs through both variants: the blocked online softmax must
+    reproduce the one-pass softmax (f32, rate=0) to float tolerance."""
+    rng = np.random.default_rng(11)
+    bh, t, dk = 2, 100, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    seed = jnp.zeros((1,), jnp.int32)
+    full = fused_attention(q, k, v, seed, 0.25, 0.0)
+    blocked = fused_attention(q, k, v, seed, 0.25, 0.0, block_kv=32)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                               atol=2e-6, rtol=2e-5)
+
+
+def test_blocked_gradients_match_naive():
+    rng = np.random.default_rng(12)
+    bh, t, dk = 2, 93, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    seed = jnp.zeros((1,), jnp.int32)
+    lf = lambda q, k, v: jnp.sum(jnp.sin(
+        fused_attention(q, k, v, seed, scale, 0.0, block_kv=32)))
+    lr = lambda q, k, v: jnp.sum(jnp.sin(naive_attention(q, k, v, scale)))
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_blocked_dropout_matches_hash_mask():
+    """The dropout mask is keyed on GLOBAL (row, col): the blocked variant
+    must reproduce the same mask as the host-side reconstruction (and hence
+    the full-row variant) regardless of block size — fwd AND grads."""
+    rng = np.random.default_rng(13)
+    bh, t, dk = 2, 64, 16
+    rate, seed_val = 0.3, 77
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    seed = jnp.array([seed_val], jnp.int32)
+    keep = hash_keep_mask((bh, t, t), rate, seed_val)
+    out = fused_attention(q, k, v, seed, scale, rate, block_kv=32)
+    ref = naive_attention(q, k, v, scale, keep=jnp.asarray(keep), rate=rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
+    lf = lambda q, k, v: jnp.sum(jnp.sin(
+        fused_attention(q, k, v, seed, scale, rate, block_kv=32)))
+    lr = lambda q, k, v: jnp.sum(jnp.sin(
+        naive_attention(q, k, v, scale, keep=jnp.asarray(keep), rate=rate)))
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_blocked_bf16_sanity():
+    rng = np.random.default_rng(14)
+    bh, t, dk = 2, 50, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.bfloat16)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, jnp.zeros((1,), jnp.int32), scale, 0.0,
+                          block_kv=32)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_blocked_gspmd_partitioning():
+    """Sharded (B*H) under plain jit, blocked variant: partitions over the
+    leading dim (lse rides along on its trailing dim) and matches the
+    unsharded values — fwd and grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(15)
+    bh, t, dk = 8, 40, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    seed = jnp.zeros((1,), jnp.int32)
+    want = fused_attention(q, k, v, seed, 0.25, 0.0, block_kv=16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qd, kd, vd = (jax.device_put(z, sh) for z in (q, k, v))
+    got = jax.jit(lambda a, b, c: fused_attention(
+        a, b, c, seed, 0.25, 0.0, block_kv=16))(qd, kd, vd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
+    assert got.sharding.spec[0] == "data", got.sharding
+    gd = jax.jit(jax.grad(lambda a: jnp.sum(fused_attention(
+        a, kd, vd, seed, 0.25, 0.0, block_kv=16) ** 2)))(qd)
+    gw = jax.grad(lambda a: jnp.sum(fused_attention(
+        a, k, v, seed, 0.25, 0.0, block_kv=16) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gw),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_gspmd_partitioning(rng):
     """Sharded (B*H) inputs under plain jit: the kernel must partition over
     the leading dim (not replicate+gather) and match the unsharded result."""
