@@ -166,6 +166,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--result_dir", type=str, default="./result")
     p.add_argument("--cache_dir", type=str, default="./cache")
+    p.add_argument("--stream_from_disk", action="store_true",
+                   help="stream batches from a memmap cache dir instead of "
+                        "holding splits in RAM/HBM (archives larger than "
+                        "host memory; sie_tpu/data/stream.py)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (XProf) trace of training here")
     p.add_argument("--export_bundle", type=str, default=None,

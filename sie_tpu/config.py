@@ -148,6 +148,11 @@ class Config:
     checkpoint_dir: str = "./checkpoints"
     result_dir: str = "./result"
     cache_dir: str = "./cache"         # preprocessed-array cache (EEG)
+    stream_from_disk: bool = False     # stream batches from a memmap cache
+    # dir instead of holding the split arrays in RAM/HBM (data/stream.py:
+    # host RSS stays O(batch); forces the host-feed path with a
+    # double-buffered device prefetcher). Beyond-reference: the torch
+    # reference materializes every dataset in RAM.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

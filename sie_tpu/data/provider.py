@@ -95,6 +95,30 @@ DATA_REGISTRY: Dict[str, Callable] = {
 }
 
 
+def _stream_cached(cfg: Config, flag: str, loso_test_subject, ds):
+    """Route an in-RAM split through the memmap stream cache
+    (data/stream.py): first run writes the .npy directory, every run reopens
+    it as read-only memmaps so batch gathers hit disk, not RAM. Keyed by the
+    same config fields that shape the split's content (the convention the
+    EEG npz cache uses — a changed source tree under an unchanged config
+    must clear cache_dir, as there)."""
+    import hashlib
+
+    from sie_tpu.data import stream
+
+    tag = hashlib.md5(repr(
+        (cfg.data, cfg.dataset, cfg.data_root, cfg.json_path, flag,
+         loso_test_subject, cfg.test_size, cfg.val_size, cfg.seed,
+         cfg.max_files, tuple(cfg.subject_ids), cfg.subject_id,
+         cfg.max_subjects, cfg.target_channels, cfg.target_timepoints,
+         cfg.original_fs, cfg.target_fs, cfg.task_type,
+         cfg.normalizer)).encode()).hexdigest()[:12]
+    path = os.path.join(cfg.cache_dir, f"stream_{cfg.data}_{flag}_{tag}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        stream.save_memmap_dataset(path, ds)
+    return stream.open_memmap_dataset(path)
+
+
 def data_provider(cfg: Config, flag: str,
                   bin_edges: Optional[np.ndarray] = None,
                   loso_test_subject: Optional[int] = None):
@@ -107,6 +131,9 @@ def data_provider(cfg: Config, flag: str,
                          f"(known: {sorted(DATA_REGISTRY)})")
     ds = DATA_REGISTRY[cfg.data](cfg, flag, bin_edges=bin_edges,
                                  loso_test_subject=loso_test_subject)
+
+    if isinstance(ds, ArrayDataset) and cfg.stream_from_disk:
+        ds = _stream_cached(cfg, flag, loso_test_subject, ds)
 
     shuffle = flag == "train"
     if isinstance(ds, ArrayDataset):

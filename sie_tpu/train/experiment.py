@@ -63,7 +63,10 @@ class Experiment:
         # gathered on-device (single-device only; mesh path feeds per host)
         total_bytes = sum(d.x.nbytes for d in
                           (self.train_data, self.val_data, self.test_data))
-        self.device_resident = mesh is None and total_bytes < 4 * 1024 ** 3
+        # stream_from_disk keeps splits on disk (data/stream.py memmaps):
+        # staging them whole into HBM would defeat the point
+        self.device_resident = (mesh is None and not cfg.stream_from_disk
+                                and total_bytes < 4 * 1024 ** 3)
 
     def _log(self, msg: str):
         if self.verbose:
@@ -118,7 +121,13 @@ class Experiment:
                         self.state, dev_train, staged, k)
                     losses.append(loss)
             else:
-                for batch in self.train_loader.epoch(epoch):
+                # host feed: a background thread gathers batch k+1 (disk
+                # rows when streaming) and starts its device upload while
+                # the device runs batch k (data/stream.py)
+                from sie_tpu.data.stream import prefetch_to_device
+                for batch in prefetch_to_device(
+                        self.train_loader.epoch(epoch),
+                        device_put=self.trainer._device_batch):
                     self.state, loss, _logits = self.trainer.train_step(
                         self.state, batch, beta)
                     losses.append(loss)
