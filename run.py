@@ -155,6 +155,10 @@ def get_args(argv=None):
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--fused_attention_max_len", type=int, default=4096,
+                   help="sequence length above which attention falls back "
+                        "to XLA (0 = unlimited via the kv-blocked kernel "
+                        "variant)")
     p.add_argument("--attention_variant", type=str, default="full",
                    choices=["full", "ds", "prob", "lsh"],
                    help="encoder attention mechanism (beyond-reference: the "

@@ -136,9 +136,12 @@ class Config:
     # Beyond-reference wiring: the reference defines DSAttention /
     # ProbAttention / ReformerLayer but never reaches them from any model.
     use_fused_attention: bool = True   # fused attention kernel
-    # (ops/pallas/attention_pallas.py): full-row variant for T<=4096,
-    # kv-blocked online-softmax variant beyond; exact softmax + in-kernel
-    # dropout; interpret-mode off-TPU
+    # (ops/pallas/attention_pallas.py): full-row variant; exact softmax +
+    # in-kernel dropout; interpret-mode off-TPU
+    fused_attention_max_len: int = 4096  # T above this uses XLA attention.
+    # 0 = unlimited: T>4096 then streams through the kernel's kv-blocked
+    # online-softmax variant (interpret-certified; compiled-path on-chip
+    # certification pending — NEXT_STEPS r3)
     fuse_short_banks: bool = False     # fuse stride-1 shapelet banks into one
     # grouped Pallas launch (opt-in: measured SLOWER at CHISCO shapes — 11.6
     # vs 10.1 ms for banks {43,85}; register pressure scales with total n,

@@ -48,6 +48,11 @@ class ArrayDataset:
         return self.x.shape[1]
 
     def select(self, idx: np.ndarray) -> "ArrayDataset":
+        if type(self.x) is not np.ndarray:  # memmap subclasses ndarray
+            # disk-backed (np.memmap / lazy view): materializing the rows
+            # defeats streaming — compose the index map instead
+            from sie_tpu.data.stream import lazy_select
+            return lazy_select(self, idx)
         return dataclasses.replace(
             self, x=self.x[idx], y=self.y[idx],
             padding_mask=self.padding_mask[idx],

@@ -95,16 +95,13 @@ DATA_REGISTRY: Dict[str, Callable] = {
 }
 
 
-def _stream_cached(cfg: Config, flag: str, loso_test_subject, ds):
-    """Route an in-RAM split through the memmap stream cache
-    (data/stream.py): first run writes the .npy directory, every run reopens
-    it as read-only memmaps so batch gathers hit disk, not RAM. Keyed by the
-    same config fields that shape the split's content (the convention the
-    EEG npz cache uses — a changed source tree under an unchanged config
-    must clear cache_dir, as there)."""
+def _stream_path(cfg: Config, flag: str, loso_test_subject) -> str:
+    """Memmap stream-cache dir for a split. Keyed by the config fields that
+    shape the split's content (the convention the EEG npz cache uses — a
+    changed source tree under an unchanged config must clear cache_dir, as
+    there). Regression bin_edges need no key: they are fit on the train
+    split, itself a deterministic function of these fields."""
     import hashlib
-
-    from sie_tpu.data import stream
 
     tag = hashlib.md5(repr(
         (cfg.data, cfg.dataset, cfg.data_root, cfg.json_path, flag,
@@ -113,10 +110,7 @@ def _stream_cached(cfg: Config, flag: str, loso_test_subject, ds):
          cfg.max_subjects, cfg.target_channels, cfg.target_timepoints,
          cfg.original_fs, cfg.target_fs, cfg.task_type,
          cfg.normalizer)).encode()).hexdigest()[:12]
-    path = os.path.join(cfg.cache_dir, f"stream_{cfg.data}_{flag}_{tag}")
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        stream.save_memmap_dataset(path, ds)
-    return stream.open_memmap_dataset(path)
+    return os.path.join(cfg.cache_dir, f"stream_{cfg.data}_{flag}_{tag}")
 
 
 def data_provider(cfg: Config, flag: str,
@@ -129,11 +123,25 @@ def data_provider(cfg: Config, flag: str,
     if cfg.data not in DATA_REGISTRY:
         raise ValueError(f"unknown data {cfg.data!r} "
                          f"(known: {sorted(DATA_REGISTRY)})")
-    ds = DATA_REGISTRY[cfg.data](cfg, flag, bin_edges=bin_edges,
-                                 loso_test_subject=loso_test_subject)
-
-    if isinstance(ds, ArrayDataset) and cfg.stream_from_disk:
-        ds = _stream_cached(cfg, flag, loso_test_subject, ds)
+    if cfg.stream_from_disk:
+        # cache-first: a warm stream cache must be opened WITHOUT running
+        # the registry loader (whose in-RAM materialization is exactly what
+        # an archive larger than host memory cannot afford)
+        from sie_tpu.data import stream
+        path = _stream_path(cfg, flag, loso_test_subject)
+        if os.path.exists(os.path.join(path, stream.META_NAME)):
+            ds = stream.open_memmap_dataset(path)
+        else:
+            ds = DATA_REGISTRY[cfg.data](cfg, flag, bin_edges=bin_edges,
+                                         loso_test_subject=loso_test_subject)
+            if isinstance(ds, ArrayDataset):
+                stream.save_memmap_dataset(path, ds)
+                ds = stream.open_memmap_dataset(path)
+            # non-ArrayDataset families (forecast windows / anomaly
+            # segments) keep their own loaders — flag is a no-op there
+    else:
+        ds = DATA_REGISTRY[cfg.data](cfg, flag, bin_edges=bin_edges,
+                                     loso_test_subject=loso_test_subject)
 
     shuffle = flag == "train"
     if isinstance(ds, ArrayDataset):

@@ -36,7 +36,8 @@ import numpy as np
 
 from sie_tpu.data.loader import ArrayDataset
 
-_META = "meta.json"
+META_NAME = "meta.json"
+_META = META_NAME
 _FIELDS = ("x", "y", "padding_mask", "subject_ids")
 
 
@@ -44,14 +45,21 @@ def save_memmap_dataset(path: str, ds: ArrayDataset,
                         chunk_rows: int = 1024) -> str:
     """Write `ds` as a directory of raw .npy files + meta.json. Fields are
     copied in `chunk_rows` slices so a memmap- (or generator-) backed source
-    never fully materializes. Returns `path`."""
-    os.makedirs(path, exist_ok=True)
+    never fully materializes. Publication is ATOMIC: everything lands in a
+    `<path>.tmp.<pid>` staging dir that is os.rename'd into place, so a
+    concurrent run with the same cache key either sees no dir (and builds
+    its own staging copy) or a complete one — never a half-written x.npy.
+    Returns `path`."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(staging, exist_ok=True)
     for name in _FIELDS:
         arr = getattr(ds, name)
         if arr is None:
             continue
         out = np.lib.format.open_memmap(
-            os.path.join(path, f"{name}.npy"), mode="w+",
+            os.path.join(staging, f"{name}.npy"), mode="w+",
             dtype=arr.dtype, shape=arr.shape)
         for i in range(0, arr.shape[0], chunk_rows):
             out[i:i + chunk_rows] = arr[i:i + chunk_rows]
@@ -64,15 +72,25 @@ def save_memmap_dataset(path: str, ds: ArrayDataset,
         "bin_edges": (None if ds.bin_edges is None
                       else np.asarray(ds.bin_edges).tolist()),
     }
-    with open(os.path.join(path, _META), "w") as f:
+    with open(os.path.join(staging, _META), "w") as f:
         json.dump(meta, f)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        # a concurrent writer with the same key won the rename — theirs is
+        # complete (rename is the last step); drop our staging copy
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, _META)):
+            raise
     return path
 
 
 def open_memmap_dataset(path: str) -> ArrayDataset:
     """Open a directory written by save_memmap_dataset as an ArrayDataset of
-    read-only memmaps. y is loaded eagerly (O(N) scalars — label filtering,
-    class counting and stratified splits all want it resident)."""
+    read-only memmaps. y is COPIED resident (np.array, not a view — O(N)
+    scalars: label filtering, class counting and stratified splits scan it
+    repeatedly and may remap in place)."""
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
     arrays = {}
@@ -82,7 +100,7 @@ def open_memmap_dataset(path: str) -> ArrayDataset:
             arrays[name] = np.load(p, mmap_mode="r")
     return ArrayDataset(
         x=arrays["x"],
-        y=np.asarray(arrays["y"]),
+        y=np.array(arrays["y"]),
         padding_mask=arrays["padding_mask"],
         subject_ids=arrays.get("subject_ids"),
         bin_edges=(None if meta.get("bin_edges") is None

@@ -99,9 +99,13 @@ class FullAttentionLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
-    # NOTE: no length gate — past _FULL_ROW_MAX_T (4096) the kernel itself
-    # dispatches to its kv-blocked online-softmax variant (same op, same
-    # dropout hash), so the fused path has no sequence-length cliff.
+    fused_max_len: int = 4096   # T above this falls back to XLA attention.
+    # 0 = unlimited: the kernel then dispatches T > 4096 to its kv-blocked
+    # online-softmax variant (same op, same dropout hash — no sequence-
+    # length cliff). Gated by default until the blocked variant's COMPILED
+    # path is certified on a real chip (interpret-certified only so far —
+    # NEXT_STEPS r3), and because in interpret mode (the CPU fallback) a
+    # T>4096 blocked grid is far slower than one fused XLA einsum.
     causal: bool = False        # TriangularCausalMask (mask_flag=True path,
     # reference SelfAttention_Family.py:63-67 + utils/masking.py:4-13)
 
@@ -139,6 +143,8 @@ class FullAttentionLayer(nn.Module):
                      and jax.default_backend() == "tpu")
         use_fused = (self.use_fused and not use_flash and not self.causal
                      and q_in.shape[1] == k_in.shape[1]
+                     and (self.fused_max_len == 0
+                          or q_in.shape[1] <= self.fused_max_len)
                      and dk <= 128)
         if use_flash:
             out = self._flash(q, k, v, dk)
@@ -191,6 +197,7 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
+    fused_max_len: int = 4096   # threaded to FullAttentionLayer
     variant: str = "full"   # full | ds | prob | lsh — swaps the inner
     # attention for a sie_tpu.models.extra variant (beyond-reference
     # wiring: the reference defines these layers but never reaches them)
@@ -211,7 +218,8 @@ class EncoderLayer(nn.Module):
                 LSHAttentionLayer
             return LSHAttentionLayer(**kw)
         return FullAttentionLayer(use_flash=self.use_flash,
-                                  use_fused=self.use_fused, **kw)
+                                  use_fused=self.use_fused,
+                                  fused_max_len=self.fused_max_len, **kw)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -241,6 +249,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused: bool = False
+    fused_max_len: int = 4096
     variant: str = "full"
 
     @nn.compact
@@ -250,7 +259,8 @@ class Encoder(nn.Module):
         for i in range(self.e_layers):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,
-                             self.use_flash, self.use_fused, self.variant,
+                             self.use_flash, self.use_fused,
+                             self.fused_max_len, self.variant,
                              name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
 

@@ -36,7 +36,8 @@ class _EncoderChunk(nn.Module):
             cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
             cfg.dropout, cfg.activation, dtype=cfg.compute_dtype,
             use_flash=cfg.use_flash_attention,
-            use_fused=cfg.use_fused_attention, name="encoder")
+            use_fused=cfg.use_fused_attention,
+            fused_max_len=cfg.fused_attention_max_len, name="encoder")
         return carry, enc(x, self.train)
 
 

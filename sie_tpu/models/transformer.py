@@ -32,6 +32,7 @@ class Transformer(nn.Module):
                     cfg.dropout, cfg.activation, dtype=dt,
                     use_flash=cfg.use_flash_attention,
                     use_fused=cfg.use_fused_attention,
+                    fused_max_len=cfg.fused_attention_max_len,
                     variant=cfg.attention_variant,
                     name="encoder")(h, train=train)
         h = jax.nn.gelu(h)
@@ -61,6 +62,7 @@ class TransformerForecaster(nn.Module):
         enc = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
                       cfg.dropout, cfg.activation, dtype=dt,
                       use_fused=cfg.use_fused_attention,
+                      fused_max_len=cfg.fused_attention_max_len,
                       name="encoder")(enc, train=train)
         dec = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
                             dtype=dt, name="dec_embedding")(
@@ -88,6 +90,7 @@ class TransformerImputer(nn.Module):
         h = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
                     cfg.dropout, cfg.activation, dtype=dt,
                     use_fused=cfg.use_fused_attention,
+                    fused_max_len=cfg.fused_attention_max_len,
                     name="encoder")(h, train=train)
         out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
         return out.astype(jnp.float32)

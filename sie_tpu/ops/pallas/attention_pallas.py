@@ -523,11 +523,14 @@ def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
 
 
 def _blocked(t: int, block_kv) -> bool:
+    if block_kv is not None and int(block_kv) <= 0:
+        raise ValueError(f"block_kv must be a positive block size or None "
+                         f"(auto), got {block_kv!r}")
     return block_kv is not None or t > _FULL_ROW_MAX_T
 
 
 def _blk(block_kv) -> int:
-    return int(block_kv) if block_kv else _KV_BLOCK
+    return _KV_BLOCK if block_kv is None else int(block_kv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
