@@ -154,6 +154,10 @@ def get_args(argv=None):
     # ===== TPU-specific =====
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
+    p.add_argument("--mesh_axes", type=str, default="data,model",
+                   help="comma-separated mesh axis names matching --mesh, "
+                        "from {data, seq, model} — e.g. 'data,seq,model' "
+                        "with --mesh 2x2x2 for dp x sp x tp")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--fused_attention_max_len", type=int, default=4096,
                    help="sequence length above which attention falls back "
@@ -207,7 +211,10 @@ def args_to_config(args, seed: int) -> Config:
     fields = {f for f in Config.__dataclass_fields__}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw.update(subject_ids=tuple(subject_ids), seed=seed,
-              mesh_shape=mesh_shape, use_pallas=not args.no_pallas,
+              mesh_shape=mesh_shape,
+              mesh_axes=tuple(t.strip() for t in args.mesh_axes.split(",")
+                              if t.strip()),
+              use_pallas=not args.no_pallas,
               eegcnn_pooling=pooling, gradient_clip=float(args.gradient_clip),
               dropout=float(args.dropout))
     if args.data in ("EEG", "EEG3"):

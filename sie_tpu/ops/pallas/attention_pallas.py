@@ -414,10 +414,17 @@ def _attn_fwd_cp(scale: float, rate: float, interpret: bool):
                                              interpret))
 
     def partition(mesh, arg_shapes, result_shape):
+        # keep only the leading (batch*heads) sharding; T/D arrive sharded
+        # under a 'seq' mesh axis and the kernel needs them whole — GSPMD
+        # all-gathers to whatever arg shardings we return here
+        qs = arg_shapes[0].sharding.spec
+        b = qs[0] if len(qs) else None
+        row = NamedSharding(mesh, P(b, None, None))
+
         def lower_fn(q, k, v, seed):
             return _attn_fwd_impl(q, k, v, seed, scale, rate, interpret)
-        return (mesh, lower_fn, result_shape.sharding,
-                tuple(a.sharding for a in arg_shapes))
+        return (mesh, lower_fn, row,
+                (row, row, row, NamedSharding(mesh, P(None))))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec
@@ -443,8 +450,11 @@ def _attn_bwd_cp(scale: float, rate: float, interpret: bool):
     f = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
-        return (mesh, impl, tuple(r.sharding for r in result_shape),
-                tuple(a.sharding for a in arg_shapes))
+        qs = arg_shapes[0].sharding.spec
+        b = qs[0] if len(qs) else None
+        row = NamedSharding(mesh, P(b, None, None))
+        return (mesh, impl, (row, row, row),
+                (row, row, row, NamedSharding(mesh, P(None)), row))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec
@@ -473,8 +483,12 @@ def _attn_fwd_blocked_cp(scale: float, rate: float, interpret: bool,
     f = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
-        return (mesh, impl, tuple(r.sharding for r in result_shape),
-                tuple(a.sharding for a in arg_shapes))
+        qs = arg_shapes[0].sharding.spec
+        b = qs[0] if len(qs) else None
+        row = NamedSharding(mesh, P(b, None, None))
+        return (mesh, impl,
+                (row, NamedSharding(mesh, P(None, b))),
+                (row, row, row, NamedSharding(mesh, P(None))))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec
@@ -504,8 +518,12 @@ def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
     f = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
-        return (mesh, impl, tuple(r.sharding for r in result_shape),
-                tuple(a.sharding for a in arg_shapes))
+        qs = arg_shapes[0].sharding.spec
+        b = qs[0] if len(qs) else None
+        row = NamedSharding(mesh, P(b, None, None))
+        return (mesh, impl, (row, row, row),
+                (row, row, row, NamedSharding(mesh, P(None)), row,
+                 NamedSharding(mesh, P(None, b)), row))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec

@@ -242,10 +242,22 @@ def _fwd_cp(stride: int, interpret: bool):
     f = custom_partitioning(lambda x, s: _l1_fwd(x, s, stride, interpret))
 
     def partition(mesh, arg_shapes, result_shape):
+        # Returned arg shardings must be ones the LOCAL kernel can honor:
+        # keep only the embarrassingly-parallel dims (B of x, n of s) and
+        # replicate the rest — with a 'seq' mesh axis the inputs can arrive
+        # T-sharded, and echoing that sharding back would hand the kernel a
+        # partial time axis (GSPMD all-gathers to whatever we return here).
+        xs = arg_shapes[0].sharding.spec
+        ss = arg_shapes[1].sharding.spec
+        xb = xs[0] if len(xs) else None
+        sn = ss[0] if len(ss) else None
+
         def lower_fn(x, s):
             return _l1_fwd(x, s, stride, interpret)
-        return (mesh, lower_fn, result_shape.sharding,
-                tuple(a.sharding for a in arg_shapes))
+        return (mesh, lower_fn,
+                NamedSharding(mesh, P(xb, sn, None, None)),
+                (NamedSharding(mesh, P(xb, None, None)),
+                 NamedSharding(mesh, P(sn, None, None))))
 
     def infer(mesh, arg_shapes, shape):
         xs = arg_shapes[0].sharding.spec
@@ -274,15 +286,25 @@ def _bwd_cp(stride: int, interpret: bool):
     f = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
-        b_axes = _dim_axes(arg_shapes[2].sharding.spec, 0)
+        # sanitize like the forward: keep B of x / n of s, replicate the
+        # rest, and force g onto the SAME (B, n) shardings so the local
+        # shards line up; psum the per-data-shard partial grads
+        xs = arg_shapes[0].sharding.spec
+        ss = arg_shapes[1].sharding.spec
+        xb = xs[0] if len(xs) else None
+        sn = ss[0] if len(ss) else None
+        b_axes = _dim_axes(P(xb), 0)
 
         def lower_fn(x, s, g):
             grad = impl(x, s, g)
             for ax in b_axes:           # sum the per-data-shard partials
                 grad = jax.lax.psum(grad, ax)
             return grad
-        return (mesh, lower_fn, result_shape.sharding,
-                tuple(a.sharding for a in arg_shapes))
+        return (mesh, lower_fn,
+                NamedSharding(mesh, P(sn, None, None)),
+                (NamedSharding(mesh, P(xb, None, None)),
+                 NamedSharding(mesh, P(sn, None, None)),
+                 NamedSharding(mesh, P(xb, sn, None, None))))
 
     def infer(mesh, arg_shapes, shape):
         ss = arg_shapes[1].sharding.spec

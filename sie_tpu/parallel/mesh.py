@@ -6,7 +6,14 @@ Recipe (jax-ml.github.io/scaling-book): pick a mesh, annotate the shardings of
 params and batch, jit the step, and let XLA GSPMD insert the collectives over
 ICI. Rules:
 
-- batch tensors:      P('data') on axis 0
+- batch tensors:      P('data') on axis 0; with a 'seq' mesh axis, axis 1
+                      (time) of every rank>=2 batch tensor is sharded too —
+                      sequence parallelism the GSPMD-compositional way: the
+                      elementwise/conv/norm stages run time-sharded, and ops
+                      that need the full sequence declare it (attention and
+                      shapelet kernels carry need_replication_factors="T" in
+                      their custom_partitioning rules), so XLA inserts the
+                      all-gathers exactly at those seams
 - shapelet banks      (n, C, L)        -> P('model')      per-bank shapelets split
 - LTS thresholds      (n, C)           -> P('model')
 - SBM classifier      (F, num_class)   -> P('model', None)  row-parallel (psum)
@@ -94,12 +101,17 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def shard_batch(batch: Tuple, mesh: Mesh) -> Tuple:
     data = _axis(mesh, "data")
-    if data is None:
+    seq = _axis(mesh, "seq")
+    if data is None and seq is None:
         return tuple(jax.device_put(b, NamedSharding(mesh, P())) for b in batch)
     out = []
     for b in batch:
-        spec = P(data, *([None] * (b.ndim - 1)))
-        out.append(jax.device_put(b, NamedSharding(mesh, spec)))
+        axes = [data] + [None] * (b.ndim - 1)
+        if seq is not None and b.ndim >= 2:
+            # batch layout convention: axis 1 is time for every rank>=2
+            # tensor (x (B,T,C), padding_mask (B,T), forecast marks (B,T,F))
+            axes[1] = seq
+        out.append(jax.device_put(b, NamedSharding(mesh, P(*axes))))
     return tuple(out)
 
 

@@ -78,6 +78,49 @@ def test_dp_mp_training_runs(uea_root, tmp_path):
     assert np.isfinite(loss)
 
 
+def test_seq_sharded_batch_specs():
+    """With a 'seq' mesh axis, shard_batch puts time (axis 1) of rank>=2
+    tensors on it; rank-1 tensors stay data-only."""
+    from sie_tpu.parallel.mesh import shard_batch
+    cfg = Config(mesh_shape=(2, 2, 2), mesh_axes=("data", "seq", "model"))
+    mesh = make_mesh(cfg)
+    batch = (np.zeros((8, 40, 3), np.float32),
+             np.zeros((8,), np.int32),
+             np.ones((8, 40), np.float32),
+             np.ones((8,), np.float32))
+    x, y, mask, w = shard_batch(batch, mesh)
+    P = jax.sharding.PartitionSpec
+    assert x.sharding.spec == P("data", "seq", None)
+    assert mask.sharding.spec == P("data", "seq")
+    assert y.sharding.spec == P("data") and w.sharding.spec == P("data")
+
+
+@pytest.mark.slow
+def test_seq_parallel_training_matches_single_device(uea_root, tmp_path,
+                                                     monkeypatch):
+    """dp x sp x tp (2,2,2) mesh: time-sharded activations between the
+    kernels' all-gather seams must reproduce the single-device numbers
+    (sequence parallelism is layout, not math). T=40 is NOT divisible by
+    the 2-way seq axis — exercises GSPMD's uneven-shard padding too. The
+    Pallas shapelet kernel runs (interpret mode) in BOTH runs so its
+    custom_partitioning sees the seq-sharded operands."""
+    monkeypatch.setenv("SIE_TPU_PALLAS_INTERPRET", "1")
+    cfg1 = par_cfg(uea_root, tmp_path / "a", (), use_pallas=True)
+    exp1 = Experiment(cfg1, verbose=False)
+    exp1.train()
+    _, m1, _ = exp1.test(save_csv=False)
+
+    cfg2 = par_cfg(uea_root, tmp_path / "b", (2, 2, 2),
+                   mesh_axes=("data", "seq", "model"), use_pallas=True)
+    mesh = make_mesh(cfg2)
+    assert mesh.axis_names == ("data", "seq", "model")
+    exp2 = Experiment(cfg2, mesh=mesh, verbose=False)
+    exp2.train()
+    _, m2, _ = exp2.test(save_csv=False)
+    assert abs(m1["accuracy"] - m2["accuracy"]) < 1e-6
+    assert abs(m1["loss"] - m2["loss"]) < 5e-4
+
+
 @pytest.mark.slow
 def test_loso_fold_parallel(tmp_path):
     """LOSO folds as a mapped axis: each fold trains with a different held-out
