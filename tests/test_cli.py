@@ -37,6 +37,19 @@ def test_mesh_flag_parsing():
     args = run_cli.get_args(["--mesh", "4x2"])
     cfg = run_cli.args_to_config(args, seed=0)
     assert cfg.mesh_shape == (4, 2)
+    assert cfg.mesh_axes == ("data", "model")
+
+
+def test_round3_flag_parsing():
+    args = run_cli.get_args(["--mesh", "2x2x2",
+                             "--mesh_axes", "data,seq,model",
+                             "--stream_from_disk",
+                             "--fused_attention_max_len", "0"])
+    cfg = run_cli.args_to_config(args, seed=0)
+    assert cfg.mesh_shape == (2, 2, 2)
+    assert cfg.mesh_axes == ("data", "seq", "model")
+    assert cfg.stream_from_disk is True
+    assert cfg.fused_attention_max_len == 0
 
 
 @pytest.mark.slow
