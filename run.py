@@ -156,8 +156,17 @@ def get_args(argv=None):
                    help="device mesh, e.g. '8' (dp) or '4x2' (dp x mp)")
     p.add_argument("--mesh_axes", type=str, default="data,model",
                    help="comma-separated mesh axis names matching --mesh, "
-                        "from {data, seq, model} — e.g. 'data,seq,model' "
-                        "with --mesh 2x2x2 for dp x sp x tp")
+                        "from {data, seq, model, expert} — e.g. "
+                        "'data,seq,model' with --mesh 2x2x2 for dp x sp x "
+                        "tp, or 'data,expert' with --mesh 2x4 for dp x ep")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="replace the Transformer encoder FFN with a "
+                        "Switch-style mixture of this many expert FFNs "
+                        "(models/moe.py); shard them with an 'expert' mesh "
+                        "axis (beyond-reference)")
+    p.add_argument("--moe_capacity_factor", type=float, default=1.25)
+    p.add_argument("--moe_top_k", type=int, default=1)
+    p.add_argument("--moe_aux_weight", type=float, default=0.01)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--fused_attention_max_len", type=int, default=4096,
                    help="sequence length above which attention falls back "

@@ -142,6 +142,14 @@ class Config:
     # 0 = unlimited: T>4096 then streams through the kernel's kv-blocked
     # online-softmax variant (interpret-certified; compiled-path on-chip
     # certification pending — NEXT_STEPS r3)
+    moe_experts: int = 0               # >0: replace the Transformer encoder
+    # FFN with a Switch-style mixture of this many expert FFNs
+    # (models/moe.py). Beyond-reference: stacked expert params shard over an
+    # 'expert' mesh axis (expert parallelism) — e.g. --mesh 2x4
+    # --mesh_axes data,expert.
+    moe_capacity_factor: float = 1.25  # per-group expert buffer headroom
+    moe_top_k: int = 1                 # experts activated per token
+    moe_aux_weight: float = 0.01       # load-balance loss weight
     fuse_short_banks: bool = False     # fuse stride-1 shapelet banks into one
     # grouped Pallas launch (opt-in: measured SLOWER at CHISCO shapes — 11.6
     # vs 10.1 ms for banks {43,85}; register pressure scales with total n,

@@ -201,6 +201,12 @@ class EncoderLayer(nn.Module):
     variant: str = "full"   # full | ds | prob | lsh — swaps the inner
     # attention for a sie_tpu.models.extra variant (beyond-reference
     # wiring: the reference defines these layers but never reaches them)
+    moe_experts: int = 0    # >0 replaces the dense FFN with a Switch-style
+    # mixture of `moe_experts` expert FFNs (models/moe.py) whose stacked
+    # params shard over an 'expert' mesh axis — beyond-reference ep surface
+    moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
+    moe_aux_weight: float = 0.01
 
     def _attention(self):
         kw = dict(d_model=self.d_model, n_heads=self.n_heads,
@@ -231,9 +237,20 @@ class EncoderLayer(nn.Module):
             attn = inner(x, x, x, train=train)
         x = x + drop(attn)
         x = y = nn.LayerNorm(name="norm1")(x)
-        act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
-        y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype, name="conv1")(y)))
-        y = drop(nn.Dense(self.d_model, dtype=self.dtype, name="conv2")(y))
+        if self.moe_experts > 0:
+            from sie_tpu.models.moe import MoEFFN
+            y = MoEFFN(self.d_model, self.d_ff, self.moe_experts,
+                       self.moe_capacity_factor, self.moe_top_k,
+                       self.dropout, self.activation,
+                       self.moe_aux_weight, dtype=self.dtype,
+                       name="moe_ffn")(y, train=train)
+            y = drop(y)
+        else:
+            act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
+            y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype,
+                                  name="conv1")(y)))
+            y = drop(nn.Dense(self.d_model, dtype=self.dtype,
+                              name="conv2")(y))
         return nn.LayerNorm(name="norm2")(x + y)
 
 
@@ -251,6 +268,10 @@ class Encoder(nn.Module):
     use_fused: bool = False
     fused_max_len: int = 4096
     variant: str = "full"
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -261,6 +282,8 @@ class Encoder(nn.Module):
                              self.dropout, self.activation, self.dtype,
                              self.use_flash, self.use_fused,
                              self.fused_max_len, self.variant,
+                             self.moe_experts, self.moe_capacity_factor,
+                             self.moe_top_k, self.moe_aux_weight,
                              name=f"layer_{i}")(x, train=train)
         return nn.LayerNorm(name="norm")(x)
 

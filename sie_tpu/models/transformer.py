@@ -34,6 +34,10 @@ class Transformer(nn.Module):
                     use_fused=cfg.use_fused_attention,
                     fused_max_len=cfg.fused_attention_max_len,
                     variant=cfg.attention_variant,
+                    moe_experts=cfg.moe_experts,
+                    moe_capacity_factor=cfg.moe_capacity_factor,
+                    moe_top_k=cfg.moe_top_k,
+                    moe_aux_weight=cfg.moe_aux_weight,
                     name="encoder")(h, train=train)
         h = jax.nn.gelu(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)

@@ -19,6 +19,10 @@ ICI. Rules:
 - SBM classifier      (F, num_class)   -> P('model', None)  row-parallel (psum)
 - FFN in  / QKV kernels (d, d_ff)      -> P(None, 'model')  column-parallel
 - FFN out / attn-out  (d_ff, d)        -> P('model', None)  row-parallel
+- MoE expert stacks   (E, ...)         -> P('expert', ...)  expert-parallel
+  (leading expert axis; composes with 'model' on the d_ff dim of wi/wo —
+  GSPMD places the all-to-all at the dispatch/combine einsums in
+  models/moe.py)
 - everything else replicated.
 
 Optimizer state inherits param shardings by initializing optax *after* the
@@ -65,10 +69,24 @@ def _axis(mesh: Mesh, name: str) -> Optional[str]:
 def params_partition_specs(params: Any, mesh: Mesh) -> Any:
     """Rule-based PartitionSpec tree for a model's params."""
     model = _axis(mesh, "model")
+    expert = _axis(mesh, "expert")
 
     def rule(path: Tuple, leaf) -> P:
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         joined = "/".join(str(n) for n in names)
+        if expert is not None and names and str(names[-1]).startswith(
+                "expert_") and leaf.ndim >= 1:
+            # stacked MoE expert params (models/moe.py): leading E axis is
+            # expert-parallel; wi (E, d, f) / wo (E, f, d) / bi (E, f)
+            # additionally split their d_ff dim over 'model' when present
+            last = str(names[-1])
+            if last == "expert_wi" and leaf.ndim == 3:
+                return P(expert, None, model)
+            if last == "expert_wo" and leaf.ndim == 3:
+                return P(expert, model, None)
+            if last == "expert_bi" and leaf.ndim == 2:
+                return P(expert, model)
+            return P(*([expert] + [None] * (leaf.ndim - 1)))
         if model is None or leaf.ndim == 0:
             return P()
         if "shapelets_" in joined and leaf.ndim == 3:

@@ -94,14 +94,20 @@ def make_loss_fn(cfg: Config, apply_fn: Callable,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         if train:
+            # 'losses' collects scalar aux objectives sown by submodules
+            # (e.g. the MoE router's load-balance loss, models/moe.py)
             (logits, info), new_vars = apply_fn(
                 variables, x, mask, train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+                mutable=["batch_stats", "losses"])
             new_stats = new_vars.get("batch_stats", batch_stats)
+            sown = jax.tree.leaves(new_vars.get("losses", {}))
         else:
             logits, info = apply_fn(variables, x, mask, train=False)
             new_stats = batch_stats
+            sown = []
         loss = head(logits, y, w)
+        for s in sown:
+            loss = loss + jnp.sum(s)
         if info.loss is not None:
             loss = loss + jnp.mean(info.loss)
         if is_interpgn:

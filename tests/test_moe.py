@@ -1,0 +1,190 @@
+"""Mixture-of-Experts FFN (sie_tpu/models/moe.py) — routing correctness,
+capacity semantics, aux loss, trainer integration, expert-parallel sharding.
+
+Beyond-reference capability (the reference FFN is dense,
+layers/Transformer_EncDec.py:40-50): certified against a per-token python
+loop over the router's choices rather than against torch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sie_tpu.config import Config
+from sie_tpu.models.moe import MoEFFN
+
+
+B, T, D, F, E = 2, 16, 8, 12, 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(B, T, D)).astype(np.float32))
+    m = MoEFFN(D, F, E, capacity_factor=8.0, top_k=1)
+    variables = m.init(jax.random.key(0), x, train=False)
+    return x, variables
+
+
+def _manual_routing(x, params):
+    """Per-token argmax choice + gate from the router params."""
+    logits = x @ params["router"]["kernel"] + params["router"]["bias"]
+    probs = jax.nn.softmax(logits, -1)
+    choice = np.asarray(jnp.argmax(probs, -1))
+    gate = np.asarray(jnp.take_along_axis(probs, choice[..., None], -1))[..., 0]
+    return np.asarray(probs), choice, gate
+
+
+def _expert_ffn(params, e, v):
+    h = jax.nn.gelu(v @ params["expert_wi"][e] + params["expert_bi"][e])
+    return np.asarray(h @ params["expert_wo"][e] + params["expert_bo"][e])
+
+
+def test_top1_matches_per_token_loop(setup):
+    x, variables = setup
+    p = variables["params"]
+    y = MoEFFN(D, F, E, capacity_factor=8.0, top_k=1).apply(
+        variables, x, train=False)
+    _, choice, gate = _manual_routing(x, p)
+    ref = np.stack([
+        np.stack([_expert_ffn(p, choice[b, t], x[b, t]) * gate[b, t]
+                  for t in range(T)]) for b in range(B)])
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_capacity_drops_overflow_tokens(setup):
+    """cf=0.25 -> capacity 1: only the first token per (group, expert)
+    survives; the rest output exactly zero (residual-only, Switch drop
+    semantics)."""
+    x, variables = setup
+    p = variables["params"]
+    y = MoEFFN(D, F, E, capacity_factor=0.25, top_k=1).apply(
+        variables, x, train=False)
+    _, choice, gate = _manual_routing(x, p)
+    count = np.zeros((B, E), int)
+    ref = np.zeros((B, T, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            e = choice[b, t]
+            if count[b, e] < 1:
+                ref[b, t] = _expert_ffn(p, e, x[b, t]) * gate[b, t]
+            count[b, e] += 1
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_top2_normalized_gates(setup):
+    x, variables = setup
+    p = variables["params"]
+    y = MoEFFN(D, F, E, capacity_factor=8.0, top_k=2).apply(
+        variables, x, train=False)
+    probs, _, _ = _manual_routing(x, p)
+    ref = np.zeros((B, T, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            pr = probs[b, t].copy()
+            e1 = int(np.argmax(pr)); g1 = pr[e1]; pr[e1] = -1.0
+            e2 = int(np.argmax(pr)); g2 = probs[b, t, e2]
+            for e, g in ((e1, g1), (e2, g2)):
+                ref[b, t] += _expert_ffn(p, e, x[b, t]) * (g / (g1 + g2))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_aux_loss_matches_switch_formula(setup):
+    x, variables = setup
+    p = variables["params"]
+    _, aux = MoEFFN(D, F, E, capacity_factor=8.0, top_k=1,
+                    aux_weight=0.5).apply(
+        variables, x, train=True, mutable=["losses"],
+        rngs={"dropout": jax.random.key(1)})
+    probs, choice, _ = _manual_routing(x, p)
+    f_e = np.stack([(choice == e).mean() for e in range(E)])
+    p_e = probs.mean((0, 1))
+    expect = 0.5 * E * float((f_e * p_e).sum())
+    got = float(jax.tree.leaves(aux["losses"])[0])
+    assert got == pytest.approx(expect, rel=1e-5)
+
+
+def test_grads_flow_to_router_and_experts(setup):
+    x, variables = setup
+    m = MoEFFN(D, F, E, capacity_factor=2.0, top_k=1, aux_weight=0.01)
+
+    def loss(params):
+        y, aux = m.apply({"params": params}, x, train=True,
+                         mutable=["losses"],
+                         rngs={"dropout": jax.random.key(1)})
+        return jnp.sum(y ** 2) + sum(jnp.sum(s)
+                                     for s in jax.tree.leaves(aux["losses"]))
+
+    g = jax.grad(loss)(variables["params"])
+    for name in ("expert_wi", "expert_wo"):
+        assert float(jnp.abs(g[name]).max()) > 0.0
+    # router learns only through gates + aux loss, but must be nonzero
+    assert float(jnp.abs(g["router"]["kernel"]).max()) > 0.0
+
+
+def test_transformer_train_step_with_moe():
+    """--moe_experts wires through the Transformer encoder and the Trainer
+    adds the sown aux loss; a few steps reduce the loss on a separable
+    synthetic set."""
+    from sie_tpu.train.trainer import Trainer
+    cfg = Config(model="DNN", dnn_type="Transformer", data="UEA",
+                 seq_len=16, enc_in=4, num_class=2, d_model=16, d_ff=32,
+                 n_heads=2, e_layers=1, batch_size=8, dropout=0.0,
+                 amp=False, use_pallas=False, use_fused_attention=False,
+                 moe_experts=4, moe_top_k=2, seed=0)
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 2, cfg.batch_size).astype(np.int32)
+    x = (rng.normal(size=(cfg.batch_size, cfg.seq_len, cfg.enc_in))
+         + 2.0 * y[:, None, None]).astype(np.float32)
+    batch = (x, y, np.ones((cfg.batch_size, cfg.seq_len), np.float32),
+             np.ones((cfg.batch_size,), np.float32))
+    tr = Trainer(cfg, steps_per_epoch=1)
+    state = tr.init_state(batch, seed=0)
+    paths = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(state.params)[0]]
+    assert any("moe_ffn" in p for p in paths)
+    assert not any("conv1" in p for p in paths)  # dense FFN fully replaced
+    losses = []
+    for _ in range(15):
+        state, loss, _ = tr.train_step(state, batch, beta=0.0)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_expert_parallel_matches_single_device():
+    """(data=2, expert=2) mesh: sharded apply is numerically equal to the
+    unsharded one — GSPMD inserts the all-to-all at the dispatch/combine
+    einsums, no semantic change."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sie_tpu.parallel.mesh import make_mesh, params_partition_specs
+
+    cfg = Config(mesh_shape=(2, 2), mesh_axes=("data", "expert"))
+    mesh = make_mesh(cfg)
+    x = jnp.asarray(np.random.default_rng(3)
+                    .normal(size=(4, T, D)).astype(np.float32))
+    m = MoEFFN(D, F, E, capacity_factor=2.0, top_k=2)
+    variables = m.init(jax.random.key(0), x, train=False)
+    y_ref = jax.jit(lambda v, x: m.apply(v, x, train=False))(variables, x)
+
+    specs = params_partition_specs(variables["params"], mesh)
+    assert specs["expert_wi"] == P("expert", None, None)
+    sharded = {"params": jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        variables["params"], specs)}
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y = jax.jit(lambda v, x: m.apply(v, x, train=False))(sharded, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cli_moe_flags():
+    from run import args_to_config, get_args
+    args = get_args(["--moe_experts", "8", "--moe_top_k", "2",
+                       "--moe_capacity_factor", "1.5",
+                       "--mesh", "2x4", "--mesh_axes", "data,expert"])
+    cfg = args_to_config(args, seed=0)
+    assert cfg.moe_experts == 8 and cfg.moe_top_k == 2
+    assert cfg.moe_capacity_factor == 1.5
+    assert cfg.mesh_axes == ("data", "expert")
