@@ -193,6 +193,11 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--quantize_bundle", action="store_true",
+                   help="with --export_bundle: store large weight tensors "
+                        "as per-channel int8 (sie_tpu/quant.py, ~4x "
+                        "smaller bundle + serving HBM; dequantized inside "
+                        "the compiled program on load)")
     p.add_argument("--export_torch_ckpt", type=str, default=None,
                    help="after test, write the trained weights as a "
                         "reference-loadable torch checkpoint.pth "
@@ -355,8 +360,10 @@ def main(argv=None):
             Predictor(experiment.cfg,
                       {"params": experiment.state.params,
                        "batch_stats": experiment.state.batch_stats}
-                      ).save_bundle(bundle_dir)
-            print(f"serving bundle exported to {bundle_dir}")
+                      ).save_bundle(bundle_dir,
+                                    quantize=args.quantize_bundle)
+            print(f"serving bundle exported to {bundle_dir}"
+                  + (" (int8 weights)" if args.quantize_bundle else ""))
 
         if args.export_torch_ckpt:
             if not hasattr(experiment, "state"):

@@ -140,18 +140,38 @@ class Predictor:
         return cls(cfg, variables, **kw)
 
     # ---- bundle export ------------------------------------------------------
-    def save_bundle(self, path: str) -> None:
-        """Self-contained serving directory: config.json + weights."""
+    def save_bundle(self, path: str, quantize: bool = False,
+                    min_size: int = 4096, exclude=()) -> None:
+        """Self-contained serving directory: config.json + weights.
+        quantize=True stores large weight tensors as per-channel int8
+        (sie_tpu/quant.py, ~4x smaller bundle + serving HBM); the Predictor
+        dequantizes inside the compiled program on load."""
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(config_to_json(self.cfg))
-        ckpt.save_checkpoint(path, self.variables["params"],
-                             self.variables.get("batch_stats", {}))
+        if quantize:
+            from sie_tpu import quant
+            variables = {"params": self.variables["params"],
+                         "batch_stats": self.variables.get("batch_stats", {})}
+            quant.save_quantized(os.path.join(path, "weights_q.npz"),
+                                 jax.device_get(variables),
+                                 min_size=min_size, exclude=exclude)
+        else:
+            ckpt.save_checkpoint(path, self.variables["params"],
+                                 self.variables.get("batch_stats", {}))
 
     @classmethod
     def load_bundle(cls, path: str, **kw) -> "Predictor":
         with open(os.path.join(path, "config.json")) as f:
             cfg = config_from_json(f.read())
+        qpath = os.path.join(path, "weights_q.npz")
+        if os.path.exists(qpath):
+            from sie_tpu import quant
+            restored = quant.load_quantized(qpath)
+            variables = {"params": restored["params"]}
+            if restored.get("batch_stats"):
+                variables["batch_stats"] = restored["batch_stats"]
+            return cls(cfg, variables, **kw)
         return cls.from_checkpoint(cfg, ckpt_dir=path, **kw)
 
     # ---- compiled programs --------------------------------------------------
@@ -165,6 +185,11 @@ class Predictor:
         key = (bucket, gating_value)
         if key not in self._compiled:
             def fwd(variables, x, mask):
+                from sie_tpu.quant import dequantize_params
+                # identity for f32 bundles; for quantized bundles the int8
+                # weights stay resident in HBM and XLA fuses the
+                # (convert * scale) into the consuming matmul/conv loads
+                variables = dequantize_params(variables)
                 logits, info = self.model.apply(
                     variables, x, mask, train=False,
                     gating_value=gating_value)
