@@ -1,0 +1,179 @@
+"""Minimal production HTTP inference server over `sie_tpu.serve.Predictor`.
+
+Beyond-reference deployment surface (the reference has no serving story at
+all — inference means re-running the torch Experiment,
+exp/experiment_classification.py:828). Stdlib-only (http.server), so a
+serving host needs exactly this package and a bundle directory:
+
+    python -m sie_tpu.serve_http --bundle ./bundle --port 8723
+
+Endpoints:
+
+- `GET /healthz`  -> {"status": "ok", ...model/bundle facts}
+- `GET /config`   -> the bundle's full config JSON
+- `POST /predict` -> body {"x": [[[...]]], "padding_mask"?: [[...]],
+  "gating_value"?: float|null} (x: (B, seq_len, enc_in) nested lists, or a
+  base64 little-endian f32 buffer as {"x_b64": ..., "shape": [B, T, C]}
+  for bulk traffic). Response: logits/probs/classes (+ eta/p/d for
+  InterpGN) as JSON lists.
+
+TPU-serving behavior comes from the Predictor: bucket-padded jit programs
+(ragged request sizes never recompile), chunking above max_batch, optional
+data-parallel mesh. Requests are serialized through one lock — the device
+is the throughput bound, and buckets keep it busy; run replicas behind a
+load balancer to scale hosts. `--warmup` pre-compiles the common buckets
+before the socket opens so first requests do not pay the (minutes-long on
+a cold relay) compile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from sie_tpu.serve import Predictor, config_to_json
+
+_MISSING = object()
+
+
+def _decode_x(payload: dict, seq_len: int, enc_in: int) -> np.ndarray:
+    if "x_b64" in payload:
+        shape = payload.get("shape")
+        if not (isinstance(shape, list) and len(shape) == 3):
+            raise ValueError("x_b64 requires 'shape': [B, T, C]")
+        buf = base64.b64decode(payload["x_b64"])
+        x = np.frombuffer(buf, dtype="<f4").reshape(shape)
+    elif "x" in payload:
+        x = np.asarray(payload["x"], np.float32)
+    else:
+        raise ValueError("body must contain 'x' or 'x_b64'")
+    if x.ndim != 3 or x.shape[1:] != (seq_len, enc_in):
+        raise ValueError(
+            f"x must be (B, {seq_len}, {enc_in}); got {tuple(x.shape)}")
+    if not np.isfinite(x).all():
+        raise ValueError("x contains non-finite values")
+    return np.ascontiguousarray(x, np.float32)
+
+
+class PredictorServer:
+    """Owns the Predictor + a lock; builds the request handler class."""
+
+    def __init__(self, predictor: Predictor, max_request_rows: int = 4096):
+        self.predictor = predictor
+        self.max_request_rows = max_request_rows
+        self.lock = threading.Lock()
+
+    # ---- request handling ------------------------------------------------
+    def handle_predict(self, payload: dict) -> dict:
+        cfg = self.predictor.cfg
+        x = _decode_x(payload, cfg.seq_len, cfg.enc_in)
+        if x.shape[0] > self.max_request_rows:
+            raise ValueError(f"batch {x.shape[0]} exceeds the server limit "
+                             f"{self.max_request_rows}; split the request")
+        mask = payload.get("padding_mask")
+        if mask is not None:
+            mask = np.asarray(mask, np.float32)
+            if mask.shape != x.shape[:2]:
+                raise ValueError(
+                    f"padding_mask must be {x.shape[:2]}; got {mask.shape}")
+        gating = payload.get("gating_value", _MISSING)
+        with self.lock:
+            if gating is _MISSING:
+                out = self.predictor.predict(x, mask)
+            else:
+                out = self.predictor.predict(x, mask, gating_value=gating)
+        resp = {"logits": out.logits.tolist(),
+                "probs": out.probs.tolist(),
+                "classes": out.classes.tolist()}
+        for k in ("eta", "p", "d", "shapelet_preds", "dnn_preds"):
+            v = getattr(out, k)
+            if v is not None:
+                resp[k] = np.asarray(v).tolist()
+        return resp
+
+    def health(self) -> dict:
+        cfg = self.predictor.cfg
+        from sie_tpu.quant import has_quantized
+        return {"status": "ok", "model": cfg.model, "dnn_type": cfg.dnn_type,
+                "num_class": cfg.num_class, "seq_len": cfg.seq_len,
+                "enc_in": cfg.enc_in, "max_batch": self.predictor.max_batch,
+                "quantized": bool(
+                    has_quantized(self.predictor.variables["params"]))}
+
+    # ---- wiring ----------------------------------------------------------
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):   # quiet by default
+                pass
+
+            def _send(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, server.health())
+                elif self.path == "/config":
+                    self._send(200, json.loads(
+                        config_to_json(server.predictor.cfg)))
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    self._send(200, server.handle_predict(payload))
+                except (ValueError, KeyError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:        # noqa: BLE001 — serving loop
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8723
+              ) -> ThreadingHTTPServer:
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        httpd.serve_forever()
+        return httpd
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--bundle", required=True,
+                   help="serving bundle dir (--export_bundle)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8723)
+    p.add_argument("--max_batch", type=int, default=256)
+    p.add_argument("--max_request_rows", type=int, default=4096)
+    p.add_argument("--warmup", type=int, nargs="*", default=[1, 32],
+                   help="batch sizes to pre-compile before accepting traffic")
+    args = p.parse_args(argv)
+
+    predictor = Predictor.load_bundle(args.bundle, max_batch=args.max_batch)
+    if args.warmup:
+        predictor.warmup(batch_sizes=tuple(args.warmup))
+    server = PredictorServer(predictor, args.max_request_rows)
+    print(f"serving {args.bundle} on http://{args.host}:{args.port}")
+    server.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

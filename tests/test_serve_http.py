@@ -1,0 +1,140 @@
+"""HTTP inference server (sie_tpu/serve_http.py): routes, payload formats,
+validation errors, parity with direct Predictor calls."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sie_tpu.config import Config
+from sie_tpu.serve import Predictor
+from sie_tpu.serve_http import PredictorServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    from sie_tpu.models import build_model
+    cfg = Config(model="InterpGN", dnn_type="FCN", seq_len=24, enc_in=3,
+                 num_class=4, num_shapelet=2, d_model=16, d_ff=32,
+                 n_heads=2, e_layers=1, dropout=0.0, amp=False,
+                 use_pallas=False, seed=0)
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, cfg.seq_len, cfg.enc_in), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x0, jnp.ones((2, cfg.seq_len)), train=False)
+    v = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        v["batch_stats"] = variables["batch_stats"]
+    pred = Predictor(cfg, v)
+    srv = PredictorServer(pred, max_request_rows=16)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", pred, cfg
+    httpd.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_config(server):
+    base, _pred, cfg = server
+    code, h = _get(base + "/healthz")
+    assert code == 200 and h["status"] == "ok"
+    assert h["num_class"] == cfg.num_class and h["quantized"] is False
+    code, c = _get(base + "/config")
+    assert code == 200 and c["model"] == "InterpGN"
+    assert _get(base + "/nope")[0] == 404
+
+
+def test_predict_json_matches_direct(server):
+    base, pred, cfg = server
+    x = np.random.default_rng(0).normal(
+        size=(3, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    code, out = _post(base + "/predict", {"x": x.tolist()})
+    assert code == 200
+    direct = pred.predict(x)
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                               direct.logits, atol=1e-5)
+    assert out["classes"] == direct.classes.tolist()
+    assert "eta" in out      # InterpGN interpretability fields survive JSON
+
+
+def test_predict_b64_bulk_format(server):
+    base, pred, cfg = server
+    x = np.random.default_rng(1).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype("<f4")
+    code, out = _post(base + "/predict", {
+        "x_b64": base64.b64encode(x.tobytes()).decode(),
+        "shape": list(x.shape)})
+    assert code == 200
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                               pred.predict(x).logits, atol=1e-5)
+
+
+def test_gating_value_override(server):
+    base, pred, cfg = server
+    x = np.random.default_rng(2).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    code, out = _post(base + "/predict",
+                      {"x": x.tolist(), "gating_value": 0.5})
+    assert code == 200
+    np.testing.assert_allclose(
+        np.asarray(out["logits"], np.float32),
+        pred.predict(x, gating_value=0.5).logits, atol=1e-5)
+
+
+def test_validation_errors(server):
+    base, _pred, cfg = server
+    ok = np.zeros((1, cfg.seq_len, cfg.enc_in), np.float32)
+    assert _post(base + "/predict", {})[0] == 400                 # no x
+    assert _post(base + "/predict", {"x": [[1.0]]})[0] == 400     # bad shape
+    bad = ok.copy(); bad[0, 0, 0] = np.nan
+    assert _post(base + "/predict", {"x": bad.tolist()})[0] == 400
+    big = np.zeros((17, cfg.seq_len, cfg.enc_in), np.float32)     # > limit
+    assert _post(base + "/predict", {"x": big.tolist()})[0] == 400
+    assert _post(base + "/predict", {"x_b64": "AAAA"})[0] == 400  # no shape
+    assert _post(base + "/nothere", {"x": ok.tolist()})[0] == 404
+
+
+def test_concurrent_requests(server):
+    """The lock serializes device work; concurrent clients all succeed."""
+    base, pred, cfg = server
+    x = np.random.default_rng(3).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    want = pred.predict(x).classes.tolist()
+    results = []
+
+    def hit():
+        results.append(_post(base + "/predict", {"x": x.tolist()}))
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert all(code == 200 and out["classes"] == want
+               for code, out in results)
