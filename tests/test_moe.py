@@ -179,6 +179,28 @@ def test_expert_parallel_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_seq_sharded_input_matches_single_device():
+    """(data=2, seq=2) mesh with the INPUT time-sharded: the router cumsum
+    and dispatch einsums run under GSPMD partitioning of T; numerics must
+    match the unsharded apply (sequence parallelism composes with MoE)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sie_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(mesh_shape=(2, 2), mesh_axes=("data", "seq"))
+    mesh = make_mesh(cfg)
+    x = jnp.asarray(np.random.default_rng(5)
+                    .normal(size=(4, T, D)).astype(np.float32))
+    m = MoEFFN(D, F, E, capacity_factor=2.0, top_k=1)
+    variables = m.init(jax.random.key(0), x, train=False)
+    y_ref = jax.jit(lambda v, x: m.apply(v, x, train=False))(variables, x)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    vs = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), variables)
+    y = jax.jit(lambda v, x: m.apply(v, x, train=False))(vs, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_cli_moe_flags():
     from run import args_to_config, get_args
     args = get_args(["--moe_experts", "8", "--moe_top_k", "2",
