@@ -193,6 +193,15 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--export_stablehlo", type=str, default=None,
+                   help="after test, export self-contained ahead-of-time "
+                        "StableHLO serving artifacts (weights baked in; "
+                        "serve with sie_tpu.serve.CompiledPredictor — no "
+                        "model code needed on the host). Platform-bound: "
+                        "export on the platform you serve on")
+    p.add_argument("--stablehlo_batch_sizes", type=int, nargs="+",
+                   default=[1, 32],
+                   help="batch buckets to export with --export_stablehlo")
     p.add_argument("--quantize_bundle", action="store_true",
                    help="with --export_bundle: store large weight tensors "
                         "as per-channel int8 (sie_tpu/quant.py, ~4x "
@@ -364,6 +373,17 @@ def main(argv=None):
                                     quantize=args.quantize_bundle)
             print(f"serving bundle exported to {bundle_dir}"
                   + (" (int8 weights)" if args.quantize_bundle else ""))
+
+        if args.export_stablehlo:
+            from sie_tpu.serve import Predictor
+            hlo_dir = (os.path.join(args.export_stablehlo, f"seed-{seed}")
+                       if len(seeds) > 1 else args.export_stablehlo)
+            Predictor(experiment.cfg,
+                      {"params": experiment.state.params,
+                       "batch_stats": experiment.state.batch_stats}
+                      ).export_stablehlo(
+                hlo_dir, batch_sizes=tuple(args.stablehlo_batch_sizes))
+            print(f"StableHLO serving artifacts exported to {hlo_dir}")
 
         if args.export_torch_ckpt:
             if not hasattr(experiment, "state"):

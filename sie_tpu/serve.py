@@ -97,6 +97,61 @@ def _zero_variables(model, cfg: Config) -> Dict[str, Any]:
             "batch_stats": zeros.get("batch_stats", {})}
 
 
+class CompiledPredictor:
+    """Serve a `Predictor.export_stablehlo` artifact directory: deserialized
+    ahead-of-time programs with the weights baked in — no model code, flax,
+    or checkpoint needed on the serving host. Same bucket-pad + chunk
+    request discipline as the live Predictor."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        if self.manifest["platform"] != jax.default_backend():
+            raise RuntimeError(
+                f"artifact exported for {self.manifest['platform']!r} but "
+                f"this host runs {jax.default_backend()!r}")
+        self._fns = {}
+        for bucket in self.manifest["buckets"]:
+            with open(os.path.join(path, f"bucket_{bucket}.stablehlo"),
+                      "rb") as f:
+                self._fns[bucket] = jexport.deserialize(f.read()).call
+
+    def predict(self, x: np.ndarray,
+                padding_mask: Optional[np.ndarray] = None) -> PredictOutput:
+        m = self.manifest
+        x = np.asarray(x, np.float32)
+        if x.ndim != 3 or x.shape[1:] != (m["seq_len"], m["enc_in"]):
+            raise ValueError(f"x must be (B, {m['seq_len']}, {m['enc_in']});"
+                             f" got {tuple(x.shape)}")
+        if padding_mask is None:
+            padding_mask = np.ones(x.shape[:2], np.float32)
+        buckets = m["buckets"]
+        top = buckets[-1]
+        pieces = []
+        for lo in range(0, x.shape[0], top):
+            xc = x[lo: lo + top]
+            mc = np.asarray(padding_mask[lo: lo + top], np.float32)
+            b = xc.shape[0]
+            bucket = next((k for k in buckets if k >= b), top)
+            if bucket > b:
+                xc = np.concatenate(
+                    [xc, np.zeros((bucket - b,) + xc.shape[1:], xc.dtype)])
+                mc = np.concatenate(
+                    [mc, np.ones((bucket - b,) + mc.shape[1:], mc.dtype)])
+            out = jax.device_get(self._fns[bucket](jnp.asarray(xc),
+                                                   jnp.asarray(mc)))
+            pieces.append({k: np.asarray(v)[:b] for k, v in out.items()})
+        keys = pieces[0].keys()
+        merged = {k: np.concatenate([p[k] for p in pieces]) for k in keys}
+        logits = merged.pop("logits")
+        e = logits - logits.max(-1, keepdims=True)
+        probs = np.exp(e)
+        probs /= probs.sum(-1, keepdims=True)
+        return PredictOutput(logits=logits, probs=probs,
+                             classes=np.argmax(logits, -1), **merged)
+
+
 class Predictor:
     """Checkpoint -> jitted, bucket-padded batch inference."""
 
@@ -173,6 +228,55 @@ class Predictor:
                 variables["batch_stats"] = restored["batch_stats"]
             return cls(cfg, variables, **kw)
         return cls.from_checkpoint(cfg, ckpt_dir=path, **kw)
+
+    # ---- ahead-of-time StableHLO artifacts ----------------------------------
+    def export_stablehlo(self, path: str, batch_sizes=(1,),
+                         gating_value=_CFG) -> None:
+        """Export self-contained serialized StableHLO programs (jax.export):
+        weights are baked in as constants (int8 + scale constants for
+        quantized bundles — the dequant stays in the graph), so a serving
+        host needs NO model code, flax, or weight files — just jax and
+        `CompiledPredictor`. One artifact per batch bucket; requests pad to
+        the nearest exported bucket and chunk through the largest
+        (same discipline as the live Predictor). Artifacts are
+        platform-bound (recorded in manifest.json) — export on the
+        platform you serve on."""
+        from jax import export as jexport
+        if gating_value is _CFG:
+            gating_value = self.cfg.gating_value
+        os.makedirs(path, exist_ok=True)
+        buckets = sorted({self._bucket(b) for b in batch_sizes})
+        variables = self.variables
+
+        def fwd(x, mask):
+            from sie_tpu.quant import dequantize_params
+            logits, info = self.model.apply(
+                dequantize_params(variables), x, mask, train=False,
+                gating_value=gating_value)
+            out = {"logits": logits.astype(jnp.float32)}
+            for k in ("eta", "p", "d", "shapelet_preds", "dnn_preds"):
+                v = getattr(info, k)
+                if v is not None:
+                    out[k] = v.astype(jnp.float32)
+            return out
+
+        for bucket in buckets:
+            x = jnp.zeros((bucket, self.cfg.seq_len, self.cfg.enc_in),
+                          jnp.float32)
+            mask = jnp.ones((bucket, self.cfg.seq_len), jnp.float32)
+            exp = jexport.export(jax.jit(fwd))(x, mask)
+            with open(os.path.join(path, f"bucket_{bucket}.stablehlo"),
+                      "wb") as f:
+                f.write(exp.serialize())
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"platform": jax.default_backend(),
+                       "buckets": buckets,
+                       "seq_len": self.cfg.seq_len,
+                       "enc_in": self.cfg.enc_in,
+                       "num_class": self.cfg.num_class,
+                       "gating_value": gating_value,
+                       "model": self.cfg.model,
+                       "dnn_type": self.cfg.dnn_type}, f, indent=1)
 
     # ---- compiled programs --------------------------------------------------
     def _bucket(self, b: int) -> int:
