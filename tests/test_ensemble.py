@@ -1,0 +1,105 @@
+"""Vectorized multi-seed training (train/ensemble.py): per-seed trajectory
+equality with sequential Trainer runs, early-stop freezing, eval shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sie_tpu.config import Config
+from sie_tpu.train.ensemble import EnsembleTrainer, stack_seed_batches
+from sie_tpu.train.trainer import Trainer
+
+
+SEEDS = (0, 42, 7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model="SBM", data="UEA", seq_len=20, enc_in=3, num_class=2,
+                 num_shapelet=2, batch_size=6, dropout=0.0, amp=False,
+                 use_pallas=False, lr=1e-2, seed=0)
+    rng = np.random.default_rng(3)
+    n = 24
+    y = rng.integers(0, 2, n).astype(np.int32)
+    x = (rng.normal(size=(n, cfg.seq_len, cfg.enc_in))
+         + 1.5 * y[:, None, None]).astype(np.float32)
+    mask = np.ones((n, cfg.seq_len), np.float32)
+    return cfg, x, y, mask
+
+
+def _seed_batches(x, y, mask, seed, n_steps, bs):
+    """Deterministic per-seed shuffles."""
+    rng = np.random.default_rng(seed + 100)
+    out = []
+    for _ in range(n_steps):
+        idx = rng.choice(len(x), bs, replace=False)
+        out.append((idx, np.ones(bs, np.float32)))
+    return out
+
+
+def test_matches_sequential_trainer(setup):
+    cfg, x, y, mask = setup
+    n_steps = 6
+    et = EnsembleTrainer(cfg, steps_per_epoch=n_steps, seeds=SEEDS)
+    sample = (x[:cfg.batch_size], y[:cfg.batch_size],
+              mask[:cfg.batch_size], np.ones(cfg.batch_size, np.float32))
+    states = et.init_states(sample)
+
+    schedules = {s: _seed_batches(x, y, mask, s, n_steps, cfg.batch_size)
+                 for s in SEEDS}
+    vec_losses = []
+    for k in range(n_steps):
+        batches = stack_seed_batches(
+            [schedules[s][k] for s in SEEDS], x, y, mask)
+        states, loss, _ = et.train_step(states, batches, beta=1.0)
+        vec_losses.append(np.asarray(loss))
+    vec_losses = np.stack(vec_losses)            # (steps, N)
+
+    for i, s in enumerate(SEEDS):
+        tr = Trainer(cfg.replace(seed=s), steps_per_epoch=n_steps)
+        st = tr.init_state(sample, seed=s)
+        for k in range(n_steps):
+            idx, w = schedules[s][k]
+            st, loss, _ = tr.train_step(
+                st, (x[idx], y[idx], mask[idx], w), beta=1.0)
+            assert float(loss) == pytest.approx(
+                float(vec_losses[k, i]), abs=2e-4), (s, k)
+        # end-state params equal too
+        pv = jax.tree.map(lambda a, i=i: np.asarray(a)[i], states.params)
+        np.testing.assert_allclose(
+            np.concatenate([np.ravel(a) for a in jax.tree.leaves(pv)]),
+            np.concatenate([np.ravel(np.asarray(a))
+                            for a in jax.tree.leaves(st.params)]),
+            atol=5e-4)
+
+
+def test_alive_mask_freezes_stopped_seeds(setup):
+    cfg, x, y, mask = setup
+    et = EnsembleTrainer(cfg, steps_per_epoch=4, seeds=SEEDS)
+    sample = (x[:cfg.batch_size], y[:cfg.batch_size],
+              mask[:cfg.batch_size], np.ones(cfg.batch_size, np.float32))
+    states = et.init_states(sample)
+    batches = stack_seed_batches(
+        [_seed_batches(x, y, mask, s, 1, cfg.batch_size)[0] for s in SEEDS],
+        x, y, mask)
+    states, _, _ = et.train_step(states, batches, beta=1.0)
+    frozen = jax.tree.map(lambda a: np.asarray(a)[0].copy(), states.params)
+    alive = np.array([0.0, 1.0, 1.0], np.float32)
+    states, _, _ = et.train_step(states, batches, beta=1.0, alive=alive)
+    after0 = jax.tree.map(lambda a: np.asarray(a)[0], states.params)
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(after0)):
+        np.testing.assert_array_equal(a, b)      # seed 0 untouched
+    # alive seeds keep moving: step counter advanced for everyone, and at
+    # least one seed-1 leaf differs from its own pre-step value
+    assert states.step.tolist() == [2, 2, 2]
+
+
+def test_eval_step_shapes(setup):
+    cfg, x, y, mask = setup
+    et = EnsembleTrainer(cfg, steps_per_epoch=1, seeds=SEEDS)
+    sample = (x[:4], y[:4], mask[:4], np.ones(4, np.float32))
+    states = et.init_states(sample)
+    logits, info = et.eval_step(states, sample)
+    assert logits.shape == (len(SEEDS), 4, cfg.num_class)
+    assert np.isfinite(np.asarray(logits)).all()
