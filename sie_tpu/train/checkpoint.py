@@ -3,11 +3,18 @@ run.py:580-602: best-only state_dict keyed on hyperparams, skip-train when a
 checkpoint already exists). Serialized with flax msgpack — dependency-free and
 adequate for these model sizes; swap in Orbax if sharded async checkpointing
 is ever needed.
+
+All writes are ATOMIC (tmp file + os.replace): a crash mid-save can never
+corrupt the previous checkpoint, and readers never observe a torn file.
+`save_checkpoint(..., background=True)` moves the device_get + serialize +
+write off the training thread (one worker, latest-wins semantics per
+directory); call `wait_pending()` before process exit or a same-dir load.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import jax
@@ -15,23 +22,60 @@ from flax import serialization
 
 CKPT_NAME = "checkpoint.msgpack"
 
+_pending_lock = threading.Lock()
+_pending: dict = {}
+
 
 def checkpoint_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, CKPT_NAME)
 
 
+def _atomic_write(path: str, data: bytes):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def wait_pending(ckpt_dir: Optional[str] = None):
+    """Block until background saves (for ckpt_dir, or all) have landed."""
+    with _pending_lock:
+        threads = ([_pending.get(ckpt_dir)] if ckpt_dir is not None
+                   else list(_pending.values()))
+    for t in threads:
+        if t is not None:
+            t.join()
+
+
 def save_checkpoint(ckpt_dir: str, params: Any, batch_stats: Any = None,
-                    meta: Any = None):
+                    meta: Any = None, background: bool = False):
     os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {"params": jax.device_get(params)}
-    if batch_stats is not None:
-        payload["batch_stats"] = jax.device_get(batch_stats)
-    with open(checkpoint_path(ckpt_dir), "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    if meta is not None:
-        import json
-        with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
-            json.dump(meta, f)
+
+    def do_save():
+        payload = {"params": jax.device_get(params)}
+        if batch_stats is not None:
+            payload["batch_stats"] = jax.device_get(batch_stats)
+        _atomic_write(checkpoint_path(ckpt_dir),
+                      serialization.to_bytes(payload))
+        if meta is not None:
+            import json
+            _atomic_write(os.path.join(ckpt_dir, "meta.json"),
+                          json.dumps(meta).encode())
+
+    if not background:
+        wait_pending(ckpt_dir)   # never let an older async save land later
+        do_save()
+        return
+    with _pending_lock:
+        prev = _pending.get(ckpt_dir)
+    if prev is not None:
+        prev.join()              # serialize saves per dir: latest wins
+    t = threading.Thread(target=do_save, daemon=True)
+    with _pending_lock:
+        _pending[ckpt_dir] = t
+    t.start()
 
 
 def load_meta(ckpt_dir: str) -> dict:
@@ -44,6 +88,7 @@ def load_meta(ckpt_dir: str) -> dict:
 
 
 def load_checkpoint(ckpt_dir: str, template: Any) -> Optional[Any]:
+    wait_pending(ckpt_dir)
     path = checkpoint_path(ckpt_dir)
     if not os.path.exists(path):
         return None
@@ -52,6 +97,7 @@ def load_checkpoint(ckpt_dir: str, template: Any) -> Optional[Any]:
 
 
 def has_checkpoint(ckpt_dir: str) -> bool:
+    wait_pending(ckpt_dir)
     return os.path.exists(checkpoint_path(ckpt_dir))
 
 
@@ -73,8 +119,8 @@ def save_train_state(ckpt_dir: str, state, epoch: int, early_state: dict):
         "epoch": epoch,
         "early": early_state,
     }
-    with open(os.path.join(ckpt_dir, FULL_STATE_NAME), "wb") as f:
-        f.write(serialization.to_bytes(payload))
+    _atomic_write(os.path.join(ckpt_dir, FULL_STATE_NAME),
+                  serialization.to_bytes(payload))
 
 
 def load_train_state(ckpt_dir: str, state):

@@ -145,9 +145,12 @@ class Experiment:
                 if improved:
                     best = (jax.device_get(self.state.params),
                             jax.device_get(self.state.batch_stats))
+                    # background=True: serialize+write overlaps the next
+                    # epoch (params already on host; loads wait_pending)
                     ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1],
                                          meta={"epoch_stop": epoch,
-                                               "val_accuracy": float(val_acc)})
+                                               "val_accuracy": float(val_acc)},
+                                         background=True)
             if snapshot_every and (epoch + 1) % snapshot_every == 0:
                 ckpt.save_train_state(self.checkpoint_dir, self.state,
                                       epoch + 1, early.state_dict())
@@ -157,7 +160,9 @@ class Experiment:
                 break
             self.epoch_stop = epoch
 
-        # reload best (reference exp:372-376)
+        # reload best (reference exp:372-376); make sure the final
+        # background checkpoint save has landed before we return
+        ckpt.wait_pending(self.checkpoint_dir)
         self.state = self.state.replace(
             params=jax.device_put(best[0]),
             batch_stats=jax.device_put(best[1]))

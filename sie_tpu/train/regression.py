@@ -125,12 +125,14 @@ class RegressionExperiment:
                             jax.device_get(self.state.batch_stats))
                     ckpt.save_checkpoint(self.checkpoint_dir, best[0], best[1],
                                          meta={"epoch_stop": epoch,
-                                               "val_loss": float(val_loss)})
+                                               "val_loss": float(val_loss)},
+                                         background=True)
             if early.early_stop:
                 self._log("Early stopping")
                 self.epoch_stop = epoch
                 break
             self.epoch_stop = epoch
+        ckpt.wait_pending(self.checkpoint_dir)
         self.state = self.state.replace(params=jax.device_put(best[0]),
                                         batch_stats=jax.device_put(best[1]))
         return self.state
