@@ -193,6 +193,11 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--metrics_jsonl", type=str, default=None,
+                   help="append one JSON line per epoch (epoch/train_loss/"
+                        "val_loss/val_accuracy/beta/seconds/seed) — "
+                        "machine-readable training telemetry for "
+                        "monitoring; the reference only prints")
     p.add_argument("--export_stablehlo", type=str, default=None,
                    help="after test, export self-contained ahead-of-time "
                         "StableHLO serving artifacts (weights baked in; "
@@ -329,7 +334,18 @@ def main(argv=None):
             experiment = RegressionExperiment(cfg, mesh=mesh)
         else:
             from sie_tpu.train.experiment import Experiment
-            experiment = Experiment(cfg, mesh=mesh)
+            metrics_hook = None
+            if args.metrics_jsonl:
+                import json as _json
+                os.makedirs(os.path.dirname(args.metrics_jsonl) or ".",
+                            exist_ok=True)
+
+                def metrics_hook(rec, _seed=seed):
+                    rec = dict(rec, seed=_seed)
+                    with open(args.metrics_jsonl, "a") as f:
+                        f.write(_json.dumps(rec) + "\n")
+            experiment = Experiment(cfg, mesh=mesh,
+                                    metrics_hook=metrics_hook)
 
         if args.import_torch_ckpt:
             if not hasattr(experiment, "load_torch_checkpoint"):

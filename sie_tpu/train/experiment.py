@@ -34,8 +34,13 @@ from sie_tpu.utils.tools import EarlyStopping, convert_to_hms, gini_coefficient
 
 class Experiment:
     def __init__(self, cfg: Config, mesh=None, loso_test_subject=None,
-                 verbose: bool = True):
+                 verbose: bool = True, metrics_hook=None):
         self.verbose = verbose
+        # metrics_hook(dict) fires once per epoch with the scalar record
+        # {epoch, train_loss, val_loss, val_accuracy, beta, seconds} —
+        # run.py wires a JSONL writer (--metrics_jsonl); production
+        # monitoring can plug anything callable
+        self.metrics_hook = metrics_hook
         self.train_data, self.train_loader = data_provider(
             cfg, "train", loso_test_subject=loso_test_subject)
         self.val_data, self.val_loader = data_provider(
@@ -140,6 +145,12 @@ class Experiment:
                 self._log(f"Epoch {epoch + 1}/{cfg.train_epochs} | "
                           f"Train Loss {train_loss:.4f} | Val Loss {val_loss:.4f} | "
                           f"Val Acc {val_acc:.4f} | Time Rem {convert_to_hms(remain)}")
+            if self.metrics_hook is not None:
+                self.metrics_hook({"epoch": epoch, "train_loss": train_loss,
+                                   "val_loss": val_loss,
+                                   "val_accuracy": val_acc,
+                                   "beta": float(beta),
+                                   "seconds": time.time() - t0})
             if epoch >= cfg.min_epochs:
                 improved = early(-val_acc)
                 if improved:

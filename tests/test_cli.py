@@ -77,3 +77,30 @@ def test_cli_end_to_end_synthetic_uea(tmp_path):
     found_csv = any(f.endswith(".csv") for _, _, fs in
                     os.walk(tmp_path / "result") for f in fs)
     assert found_csv
+
+
+@pytest.mark.slow
+def test_cli_metrics_jsonl(tmp_path):
+    """--metrics_jsonl appends one parseable record per epoch with the
+    documented keys (machine-readable telemetry; beyond reference)."""
+    import json
+    from sie_tpu.data.synthetic import write_synthetic_uea
+    write_synthetic_uea(str(tmp_path), "Toy", n_train=24, n_test=12, n_dims=2,
+                        length=30, n_classes=2, seed=1)
+    log = tmp_path / "logs" / "metrics.jsonl"
+    run_cli.main([
+        "--data", "UEA", "--data_root", str(tmp_path), "--dataset", "Toy",
+        "--model", "SBM", "--num_shapelet", "2", "--batch_size", "8",
+        "--train_epochs", "3", "--patience", "5", "--seed", "0",
+        "--no-amp", "--no_pallas", "--metrics_jsonl", str(log),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--result_dir", str(tmp_path / "result"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ])
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(recs) == 3
+    for i, r in enumerate(recs):
+        assert r["epoch"] == i and r["seed"] == 0
+        for k in ("train_loss", "val_loss", "val_accuracy", "beta",
+                  "seconds"):
+            assert np.isfinite(r[k])
