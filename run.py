@@ -193,6 +193,15 @@ def get_args(argv=None):
                    help="after test, export a self-contained serving bundle "
                         "(config.json + weights; sie_tpu/serve.py) here — "
                         "load with sie_tpu.serve.Predictor.load_bundle")
+    p.add_argument("--augment", type=str, default="",
+                   help="comma-separated train-time on-device augmentations "
+                        "from {noise, scale, chdrop, tshift} "
+                        "(data/augment.py; beyond-reference, off by "
+                        "default)")
+    p.add_argument("--augment_noise_std", type=float, default=0.1)
+    p.add_argument("--augment_scale_std", type=float, default=0.1)
+    p.add_argument("--augment_chdrop_prob", type=float, default=0.1)
+    p.add_argument("--augment_tshift_max", type=int, default=16)
     p.add_argument("--metrics_jsonl", type=str, default=None,
                    help="append one JSON line per epoch (epoch/train_loss/"
                         "val_loss/val_accuracy/beta/seconds/seed) — "
@@ -239,6 +248,8 @@ def args_to_config(args, seed: int) -> Config:
     fields = {f for f in Config.__dataclass_fields__}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw.update(subject_ids=tuple(subject_ids), seed=seed,
+              augment=tuple(t.strip() for t in args.augment.split(",")
+                            if t.strip()),
               mesh_shape=mesh_shape,
               mesh_axes=tuple(t.strip() for t in args.mesh_axes.split(",")
                               if t.strip()),

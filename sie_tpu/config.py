@@ -142,6 +142,13 @@ class Config:
     # 0 = unlimited: T>4096 then streams through the kernel's kv-blocked
     # online-softmax variant (interpret-certified; compiled-path on-chip
     # certification pending — NEXT_STEPS r3)
+    augment: Tuple[str, ...] = ()      # train-time on-device augmentations
+    # (data/augment.py; off by default so parity configs are bit-identical):
+    # any of 'noise', 'scale', 'chdrop', 'tshift'
+    augment_noise_std: float = 0.1     # x per-sample std
+    augment_scale_std: float = 0.1
+    augment_chdrop_prob: float = 0.1
+    augment_tshift_max: int = 16       # time steps
     moe_experts: int = 0               # >0: replace the Transformer encoder
     # FFN with a Switch-style mixture of this many expert FFNs
     # (models/moe.py). Beyond-reference: stacked expert params shard over an

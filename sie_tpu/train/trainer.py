@@ -182,6 +182,14 @@ class Trainer:
         optional non-negativity projection."""
         cfg = self.cfg
         rng = jax.random.fold_in(jax.random.key(cfg.seed + 17), state.step)
+        if cfg.augment:
+            # train-only on-device augmentation (data/augment.py) — fuses
+            # into this compiled step; eval paths never see it
+            from sie_tpu.data.augment import apply_augmentations
+            x, y, mask, w = batch
+            x, mask = apply_augmentations(
+                cfg, jax.random.fold_in(rng, 9173), x, mask)
+            batch = (x, y, mask, w)
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (logits, _info, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, beta, True, rng)
