@@ -340,21 +340,22 @@ def main(argv=None):
             all_results.append((seed, None, metrics))
             continue
 
+        metrics_hook = None
+        if args.metrics_jsonl:
+            import json as _json
+            os.makedirs(os.path.dirname(args.metrics_jsonl) or ".",
+                        exist_ok=True)
+
+            def metrics_hook(rec, _seed=seed):
+                rec = dict(rec, seed=_seed)
+                with open(args.metrics_jsonl, "a") as f:
+                    f.write(_json.dumps(rec) + "\n")
         if args.task_name == "regression":
             from sie_tpu.train.regression import RegressionExperiment
-            experiment = RegressionExperiment(cfg, mesh=mesh)
+            experiment = RegressionExperiment(cfg, mesh=mesh,
+                                              metrics_hook=metrics_hook)
         else:
             from sie_tpu.train.experiment import Experiment
-            metrics_hook = None
-            if args.metrics_jsonl:
-                import json as _json
-                os.makedirs(os.path.dirname(args.metrics_jsonl) or ".",
-                            exist_ok=True)
-
-                def metrics_hook(rec, _seed=seed):
-                    rec = dict(rec, seed=_seed)
-                    with open(args.metrics_jsonl, "a") as f:
-                        f.write(_json.dumps(rec) + "\n")
             experiment = Experiment(cfg, mesh=mesh,
                                     metrics_hook=metrics_hook)
 

@@ -12,7 +12,9 @@ bit-identical).
 Augmentations (select by name via `--augment`, comma-separated):
 
 - `noise`:   additive Gaussian noise, sigma = augment_noise_std * per-sample
-             std of the input (scale-free across z-scored EEG and raw UEA)
+             std of the VALID (mask=1) region, injected only at valid
+             timesteps — padding stays exactly zero and a heavily padded
+             sample's sigma is not diluted by its padding
 - `scale`:   per-sample amplitude scaling ~ N(1, augment_scale_std)
 - `chdrop`:  per-sample channel dropout with prob augment_chdrop_prob,
              compensated by 1/(1-p) like inverted dropout
@@ -49,8 +51,13 @@ def apply_augmentations(cfg, rng: jax.Array, x: jax.Array,
     for i, name in enumerate(names):
         key = jax.random.fold_in(rng, i + 101)
         if name == "noise":
-            std = jnp.std(x, axis=(1, 2), keepdims=True)
-            x = x + (cfg.augment_noise_std * std
+            m = mask[:, :, None].astype(x.dtype)
+            n_valid = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * c,
+                                  1.0)
+            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / n_valid
+            var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2),
+                          keepdims=True) / n_valid
+            x = x + (cfg.augment_noise_std * jnp.sqrt(var) * m
                      * jax.random.normal(key, x.shape, x.dtype))
         elif name == "scale":
             s = 1.0 + cfg.augment_scale_std * jax.random.normal(

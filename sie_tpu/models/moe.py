@@ -23,6 +23,12 @@ in Switch Transformer / Mesh-TF / t5x-style routers):
 - The router runs in f32 (softmax numerics), experts in the bf16 policy.
 - Tokens over capacity are dropped: they bypass the FFN (residual still
   carries them) — standard Switch semantics.
+- Padded timesteps are routed like real ones and can consume capacity.
+  This mirrors the encoder's existing semantics — the reference's
+  FullAttention runs unmasked on this path too (its padding mask is applied
+  only at the post-encoder pooling, Transformer.py:105-108), and the
+  CHISCO/EEG batcher emits all-ones masks (SURVEY §2.5-7). For heavily
+  padded inputs, raise capacity_factor to absorb the padded load.
 - Load-balance aux loss (E * Σ_e f_e · P_e) and an optional router z-loss
   are `sow`n into the 'losses' collection; the Trainer adds every sown leaf
   to the objective (train/trainer.py:make_loss_fn).

@@ -124,6 +124,10 @@ class CompiledPredictor:
         if x.ndim != 3 or x.shape[1:] != (m["seq_len"], m["enc_in"]):
             raise ValueError(f"x must be (B, {m['seq_len']}, {m['enc_in']});"
                              f" got {tuple(x.shape)}")
+        if x.shape[0] == 0:
+            z = np.zeros((0, m["num_class"]), np.float32)
+            return PredictOutput(logits=z, probs=z,
+                                 classes=np.zeros((0,), np.int64))
         if padding_mask is None:
             padding_mask = np.ones(x.shape[:2], np.float32)
         buckets = m["buckets"]

@@ -7,23 +7,31 @@ is ever needed.
 All writes are ATOMIC (tmp file + os.replace): a crash mid-save can never
 corrupt the previous checkpoint, and readers never observe a torn file.
 `save_checkpoint(..., background=True)` moves the device_get + serialize +
-write off the training thread (one worker, latest-wins semantics per
-directory); call `wait_pending()` before process exit or a same-dir load.
+write onto ONE ordered writer thread (global FIFO — latest submission per
+directory always lands last; no two writers ever share a .tmp file).
+`wait_pending()` blocks until queued saves land and RE-RAISES any write
+error that happened in the background, so failures are never silent; the
+sync-save and load paths call it first, and an atexit hook drains the
+queue (best-effort) on interpreter shutdown.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import queue as _queue_mod
 import threading
-from typing import Any, Optional
+from typing import Any, List, Optional, Tuple
 
 import jax
 from flax import serialization
 
 CKPT_NAME = "checkpoint.msgpack"
 
-_pending_lock = threading.Lock()
-_pending: dict = {}
+_writer_lock = threading.Lock()
+_writer: Optional[threading.Thread] = None
+_queue: Optional[_queue_mod.Queue] = None
+_errors: List[Tuple[str, BaseException]] = []
 
 
 def checkpoint_path(ckpt_dir: str) -> str:
@@ -39,18 +47,45 @@ def _atomic_write(path: str, data: bytes):
     os.replace(tmp, path)
 
 
+def _writer_loop():
+    while True:
+        ckpt_dir, fn = _queue.get()
+        try:
+            fn()
+        except BaseException as e:   # noqa: BLE001 — re-raised in wait_pending
+            _errors.append((ckpt_dir, e))
+        finally:
+            _queue.task_done()
+
+
+def _submit(ckpt_dir: str, fn):
+    global _writer, _queue
+    with _writer_lock:
+        if _writer is None:
+            _queue = _queue_mod.Queue()
+            _writer = threading.Thread(target=_writer_loop, daemon=True)
+            _writer.start()
+            atexit.register(lambda: _queue.join())
+    _queue.put((ckpt_dir, fn))
+
+
 def wait_pending(ckpt_dir: Optional[str] = None):
-    """Block until background saves (for ckpt_dir, or all) have landed."""
-    with _pending_lock:
-        threads = ([_pending.get(ckpt_dir)] if ckpt_dir is not None
-                   else list(_pending.values()))
-    for t in threads:
-        if t is not None:
-            t.join()
+    """Block until queued background saves have landed; raise the first
+    recorded background write error (ckpt_dir is accepted for call-site
+    clarity — the queue is global, so all pending saves are drained)."""
+    if _queue is not None:
+        _queue.join()
+    if _errors:
+        ckdir, err = _errors.pop(0)
+        raise RuntimeError(
+            f"background checkpoint save for {ckdir!r} failed") from err
 
 
 def save_checkpoint(ckpt_dir: str, params: Any, batch_stats: Any = None,
                     meta: Any = None, background: bool = False):
+    """With background=True pass HOST arrays (jax.device_get first) if the
+    live train state may be donated/overwritten before the write lands —
+    the Experiment call sites already save from their host-side `best`."""
     os.makedirs(ckpt_dir, exist_ok=True)
 
     def do_save():
@@ -68,14 +103,7 @@ def save_checkpoint(ckpt_dir: str, params: Any, batch_stats: Any = None,
         wait_pending(ckpt_dir)   # never let an older async save land later
         do_save()
         return
-    with _pending_lock:
-        prev = _pending.get(ckpt_dir)
-    if prev is not None:
-        prev.join()              # serialize saves per dir: latest wins
-    t = threading.Thread(target=do_save, daemon=True)
-    with _pending_lock:
-        _pending[ckpt_dir] = t
-    t.start()
+    _submit(ckpt_dir, do_save)
 
 
 def load_meta(ckpt_dir: str) -> dict:

@@ -55,7 +55,7 @@ class EnsembleTrainer:
         self.tx = make_optimizer(cfg, steps_per_epoch)
         self.loss_fn = make_loss_fn(cfg, self.model.apply)
         self._train_step = None
-        self._eval_step = None
+        self._eval_step = {}
 
     # ---- state -----------------------------------------------------------
     def init_states(self, sample_batch) -> TrainState:
@@ -82,16 +82,29 @@ class EnsembleTrainer:
     def _update_one(self, seed, alive, state: TrainState, batch, beta):
         cfg = self.cfg
         rng = jax.random.fold_in(jax.random.key(seed + 17), state.step)
+        if cfg.augment:
+            # same derivation as Trainer._update so per-seed parity holds
+            # for augmented configs too
+            from sie_tpu.data.augment import apply_augmentations
+            x, y, mask, w = batch
+            x, mask = apply_augmentations(
+                cfg, jax.random.fold_in(rng, 9173), x, mask)
+            batch = (x, y, mask, w)
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (logits, _info, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, beta, True, rng)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
-        # stopped seeds: freeze params/opt-state (zeroed update, old state)
+        # stopped seeds: fully frozen — zeroed update, old opt-state, and
+        # old batch_stats (BatchNorm running stats must not keep drifting
+        # after the seed early-stops)
         updates = jax.tree.map(lambda u: u * alive, updates)
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(alive > 0, new, old),
             opt_state, state.opt_state)
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(alive > 0, new, old),
+            new_stats, state.batch_stats)
         params = optax.apply_updates(state.params, updates)
         if cfg.pos_weight and cfg.model in ("SBM", "LTS", "InterpGN"):
             params = clamp_sbm_weights(params)
@@ -119,20 +132,22 @@ class EnsembleTrainer:
                                 jnp.asarray(alive, jnp.float32))
 
     def eval_step(self, states: TrainState, batch, gating_value=None):
-        """One SHARED batch evaluated by every seed: (N, B, num_class)."""
-        if self._eval_step is None:
-            def one(params, batch_stats, x, mask):
+        """One SHARED batch evaluated by every seed: (N, B, num_class).
+        Programs are cached per gating_value (like Trainer._eval_steps)."""
+        if gating_value not in self._eval_step:
+            def one(params, batch_stats, x, mask, gv=gating_value):
                 variables = {"params": params}
                 if batch_stats:
                     variables["batch_stats"] = batch_stats
                 return self.model.apply(variables, x, mask, train=False,
-                                        gating_value=gating_value)
+                                        gating_value=gv)
 
-            self._eval_step = jax.jit(jax.vmap(
+            self._eval_step[gating_value] = jax.jit(jax.vmap(
                 one, in_axes=(0, 0, None, None)))
         x, _y, mask, _w = batch
-        return self._eval_step(states.params, states.batch_stats,
-                               jnp.asarray(x), jnp.asarray(mask))
+        return self._eval_step[gating_value](
+            states.params, states.batch_stats,
+            jnp.asarray(x), jnp.asarray(mask))
 
 
 def stack_seed_batches(batcher_steps, data_x, data_y, data_mask):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from datetime import datetime
 from typing import Optional
 
@@ -62,8 +63,9 @@ def make_crps_head(bin_edges: np.ndarray, truncate_targets: bool = False):
 
 class RegressionExperiment:
     def __init__(self, cfg: Config, mesh=None, verbose: bool = True,
-                 truncate_targets: bool = False):
+                 truncate_targets: bool = False, metrics_hook=None):
         self.verbose = verbose
+        self.metrics_hook = metrics_hook   # per-epoch dict, like Experiment
         self.train_data, self.train_loader = data_provider(cfg, "TRAIN")
         self.test_data, self.test_loader = data_provider(
             cfg, "TEST", bin_edges=self.train_data.bin_edges)
@@ -107,6 +109,7 @@ class RegressionExperiment:
         early = EarlyStopping(patience=cfg.patience)
         best = (jax.device_get(self.state.params),
                 jax.device_get(self.state.batch_stats))
+        t0 = time.time()
         for epoch in range(cfg.train_epochs):
             beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
             losses = []
@@ -115,6 +118,12 @@ class RegressionExperiment:
                     self.state, self._batch(batch), beta)
                 losses.append(loss)
             val_loss = self.validation()
+            if self.metrics_hook is not None:
+                self.metrics_hook({
+                    "epoch": epoch,
+                    "train_loss": float(np.mean(jax.device_get(losses))),
+                    "val_loss": float(val_loss), "beta": float(beta),
+                    "seconds": time.time() - t0})
             if (epoch + 1) % cfg.log_interval == 0:
                 self._log(f"Epoch {epoch}/{cfg.train_epochs} | "
                           f"Train {float(np.mean(jax.device_get(losses))):.4f} | "

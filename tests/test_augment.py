@@ -115,3 +115,19 @@ def test_cli_augment_parsing():
     assert cfg.augment_tshift_max == 7
     assert run_cli.args_to_config(
         run_cli.get_args([]), seed=0).augment == ()
+
+
+def test_noise_respects_padding(xm):
+    """Noise sigma comes from the valid region and padded timesteps stay
+    exactly zero (models scanning raw x must not see garbage there)."""
+    x, _ = xm
+    mask = np.ones((4, 32), np.float32)
+    mask[:, 20:] = 0.0
+    xp = np.asarray(x).copy()
+    xp[:, 20:, :] = 0.0                      # zero-padded region
+    cfg = _cfg(augment=("noise",), augment_noise_std=0.3)
+    xa, _ = apply_augmentations(cfg, jax.random.key(7),
+                                jnp.asarray(xp), jnp.asarray(mask))
+    xa = np.asarray(xa)
+    assert (xa[:, 20:, :] == 0.0).all()
+    assert np.abs(xa[:, :20, :] - xp[:, :20, :]).max() > 0

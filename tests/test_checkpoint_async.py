@@ -59,3 +59,19 @@ def test_concurrent_dirs_independent(tmp_path):
     for i, d in enumerate(dirs):
         restored = ckpt.load_checkpoint(d, {"params": _params(0.0)})
         assert restored["params"]["dense"]["kernel"][0, 0] == float(i)
+
+
+def test_background_write_error_is_raised(tmp_path):
+    """A failed background save must surface at wait_pending, not vanish."""
+    blocker = tmp_path / "ck_err" / ckpt.CKPT_NAME
+    blocker.parent.mkdir()
+    blocker.mkdir()          # directory where the file must go -> IsADirectory
+    ckpt.save_checkpoint(str(blocker.parent), _params(1.0), background=True)
+    import pytest
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        ckpt.wait_pending()
+    # the error queue is drained: later saves work again
+    d = str(tmp_path / "ck_ok")
+    ckpt.save_checkpoint(d, _params(2.0), background=True)
+    restored = ckpt.load_checkpoint(d, {"params": _params(0.0)})
+    assert restored["params"]["dense"]["kernel"][0, 0] == 2.0

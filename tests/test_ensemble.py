@@ -103,3 +103,47 @@ def test_eval_step_shapes(setup):
     logits, info = et.eval_step(states, sample)
     assert logits.shape == (len(SEEDS), 4, cfg.num_class)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_alive_mask_freezes_batch_stats():
+    """BatchNorm running stats must also freeze for stopped seeds (FCN has
+    batch_stats; params-only freezing would let eval drift)."""
+    cfg = Config(model="DNN", dnn_type="FCN", data="UEA", seq_len=16,
+                 enc_in=3, num_class=2, batch_size=4, dropout=0.0,
+                 amp=False, use_pallas=False, seed=0)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 16, 3)).astype(np.float32)
+    y = rng.integers(0, 2, 8).astype(np.int32)
+    mask = np.ones((8, 16), np.float32)
+    et = EnsembleTrainer(cfg, steps_per_epoch=1, seeds=(0, 1))
+    sample = (x[:4], y[:4], mask[:4], np.ones(4, np.float32))
+    states = et.init_states(sample)
+    batches = (np.stack([x[:4], x[4:]]), np.stack([y[:4], y[4:]]),
+               np.stack([mask[:4], mask[4:]]),
+               np.ones((2, 4), np.float32))
+    states, _, _ = et.train_step(states, batches, beta=0.0)
+    stats_before = jax.tree.map(lambda a: np.asarray(a)[0].copy(),
+                                states.batch_stats)
+    states, _, _ = et.train_step(states, batches, beta=0.0,
+                                 alive=np.array([0.0, 1.0], np.float32))
+    stats_after = jax.tree.map(lambda a: np.asarray(a)[0],
+                               states.batch_stats)
+    for a, b in zip(jax.tree.leaves(stats_before),
+                    jax.tree.leaves(stats_after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_eval_step_gating_values_not_conflated(setup):
+    """Programs cache per gating_value — a second gating value must not
+    silently reuse the first compiled closure."""
+    cfg, x, y, mask = setup
+    cfg = cfg.replace(model="InterpGN", dnn_type="FCN", d_model=8)
+    et = EnsembleTrainer(cfg, steps_per_epoch=1, seeds=(0, 1))
+    sample = (x[:4], y[:4], mask[:4], np.ones(4, np.float32))
+    states = et.init_states(sample)
+    l_none, _ = et.eval_step(states, sample)
+    l_gate, _ = et.eval_step(states, sample, gating_value=0.0)
+    assert set(et._eval_step.keys()) == {None, 0.0}
+    # tau=0.0 hard-gates every sample to SBM-only logits — must differ from
+    # the blended (gating None) output for a random-init InterpGN
+    assert np.abs(np.asarray(l_none) - np.asarray(l_gate)).max() > 1e-6
