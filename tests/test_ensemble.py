@@ -147,3 +147,44 @@ def test_eval_step_gating_values_not_conflated(setup):
     # tau=0.0 hard-gates every sample to SBM-only logits — must differ from
     # the blended (gating None) output for a random-init InterpGN
     assert np.abs(np.asarray(l_none) - np.asarray(l_gate)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_ensemble_driver_end_to_end(tmp_path):
+    """Full vectorized multi-seed experiment on a separable synthetic UEA
+    set: per-seed results, early stopping, vectorized test pass."""
+    from sie_tpu.data.synthetic import write_synthetic_uea
+    from sie_tpu.train.ensemble_driver import run_ensemble_experiment
+
+    write_synthetic_uea(str(tmp_path), "Toy", n_train=32, n_test=16,
+                        n_dims=2, length=24, n_classes=2, seed=5)
+    cfg = Config(data="UEA", data_root=str(tmp_path), dataset="Toy",
+                 model="InterpGN", dnn_type="FCN", num_shapelet=2,
+                 batch_size=8, train_epochs=8, patience=3, min_epochs=0,
+                 dropout=0.0, amp=False, use_pallas=False, lr=5e-3,
+                 log_interval=100, seed=0, cache_dir=str(tmp_path / "c"))
+    results = run_ensemble_experiment(cfg, seeds=(0, 42, 7), verbose=False)
+    assert [r["seed"] for r in results] == [0, 42, 7]
+    for r in results:
+        assert 0.0 <= r["accuracy"] <= 100.0
+        assert 0 <= r["epoch_stop"] < 8
+    # a separable 2-class toy: the seed ensemble should beat random easily
+    assert max(r["accuracy"] for r in results) >= 75.0
+
+
+@pytest.mark.slow
+def test_ensemble_sweep_script_skips_missing(tmp_path):
+    """The sweep driver reports and skips datasets whose archive is absent
+    (run_uea.sh behavior) and still summarizes the present ones."""
+    import importlib
+    from sie_tpu.data.synthetic import write_synthetic_uea
+    sweep = importlib.import_module("scripts.uea_ensemble_sweep")
+    write_synthetic_uea(str(tmp_path), "Here", n_train=16, n_test=8,
+                        n_dims=2, length=20, n_classes=2, seed=6)
+    summary = sweep.main([
+        "--data", "UEA", "--data_root", str(tmp_path),
+        "--datasets", "Here", "Missing",
+        "--model", "SBM", "--num_shapelet", "2", "--batch_size", "8",
+        "--train_epochs", "2", "--patience", "2", "--seed", "0",
+        "--no-amp", "--no_pallas", "--cache_dir", str(tmp_path / "c")])
+    assert "Here" in summary and "Missing" not in summary
