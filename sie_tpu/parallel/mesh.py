@@ -117,20 +117,48 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
-def shard_batch(batch: Tuple, mesh: Mesh) -> Tuple:
+def _batch_specs(batch: Tuple, mesh: Mesh) -> Tuple[P, ...]:
     data = _axis(mesh, "data")
     seq = _axis(mesh, "seq")
-    if data is None and seq is None:
-        return tuple(jax.device_put(b, NamedSharding(mesh, P())) for b in batch)
-    out = []
+    specs = []
     for b in batch:
         axes = [data] + [None] * (b.ndim - 1)
         if seq is not None and b.ndim >= 2:
             # batch layout convention: axis 1 is time for every rank>=2
             # tensor (x (B,T,C), padding_mask (B,T), forecast marks (B,T,F))
             axes[1] = seq
-        out.append(jax.device_put(b, NamedSharding(mesh, P(*axes))))
-    return tuple(out)
+        specs.append(P(*axes))
+    return tuple(specs)
+
+
+def shard_batch(batch: Tuple, mesh: Mesh) -> Tuple:
+    data = _axis(mesh, "data")
+    seq = _axis(mesh, "seq")
+    if data is None and seq is None:
+        return tuple(jax.device_put(b, NamedSharding(mesh, P())) for b in batch)
+    specs = _batch_specs(batch, mesh)
+    return tuple(jax.device_put(b, NamedSharding(mesh, s))
+                 for b, s in zip(batch, specs))
+
+
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices of more than one process —
+    multi-host data parallelism (each host feeds only its local rows)."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def global_batch_from_local(batch: Tuple, mesh: Mesh) -> Tuple:
+    """Multi-host dp input path: every process passes ITS slice of the
+    global batch (its rows of the 'data'-axis shard), and the returned
+    jax.Arrays are GLOBAL — the batch dim is the sum over processes. The
+    standard single-controller-per-host TPU feeding recipe
+    (`jax.make_array_from_process_local_data`); composes with 'seq'/'model'
+    axes because only the local data is process-local."""
+    specs = _batch_specs(batch, mesh)
+    return tuple(
+        jax.make_array_from_process_local_data(NamedSharding(mesh, s),
+                                               np.asarray(b))
+        for b, s in zip(batch, specs))
 
 
 def shard_state(state, mesh: Mesh, cfg: Config):

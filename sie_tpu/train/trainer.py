@@ -171,11 +171,19 @@ class Trainer:
         return self._eval_steps[gating_value](state, batch)
 
     def _device_batch(self, batch):
-        batch = tuple(jnp.asarray(b) for b in batch)
         if self.mesh is not None:
-            from sie_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(batch, self.mesh)
-        return batch
+            from sie_tpu.parallel.mesh import (global_batch_from_local,
+                                               mesh_spans_processes,
+                                               shard_batch)
+            if mesh_spans_processes(self.mesh):
+                # multi-host dp: the caller feeds THIS process's rows of
+                # the global batch; assemble the global array from local
+                # shards (parallel/mesh.py:global_batch_from_local)
+                return global_batch_from_local(
+                    tuple(np.asarray(b) for b in batch), self.mesh)
+            return shard_batch(tuple(jnp.asarray(b) for b in batch),
+                               self.mesh)
+        return tuple(jnp.asarray(b) for b in batch)
 
     def _update(self, state: TrainState, batch, beta):
         """Shared body of the jitted train steps: loss+grad, optimizer update,
