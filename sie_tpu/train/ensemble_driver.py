@@ -26,14 +26,15 @@ from sie_tpu.train.ensemble import EnsembleTrainer, stack_seed_batches
 from sie_tpu.train.trainer import compute_beta
 
 
-def _eval_accuracy(et: EnsembleTrainer, states, ds, batch_size: int
-                   ) -> np.ndarray:
+def _eval_accuracy(et: EnsembleTrainer, states, ds, batch_size: int,
+                   gating_value=None) -> np.ndarray:
     """Weighted accuracy per seed over a whole split: (N,) in [0, 1]."""
     loader = Batcher(ds, batch_size, shuffle=False)
     correct = np.zeros((et.n,), np.float64)
     total = 0.0
     for x, y, mask, w in loader.epoch(0):
-        logits, _ = et.eval_step(states, (x, y, mask, w))
+        logits, _ = et.eval_step(states, (x, y, mask, w),
+                                 gating_value=gating_value)
         pred = np.argmax(np.asarray(logits), -1)        # (N, B)
         correct += ((pred == y[None]) * w[None]).sum(axis=1)
         total += w.sum()
@@ -64,12 +65,24 @@ def run_ensemble_experiment(cfg: Config,
     y_all = np.asarray(train_data.y)
     m_all = np.asarray(train_data.padding_mask, np.float32)
 
+    # per-seed EarlyStopping instances — the SAME class the sequential
+    # Experiment uses (utils/tools.py), so tie/patience semantics (a tie
+    # resets the counter and re-snapshots) match run.py exactly
+    from sie_tpu.utils.tools import EarlyStopping
+    earlies = [EarlyStopping(patience=cfg.patience) for _ in seeds]
     alive = np.ones((n,), np.float32)
     best_val = np.full((n,), -np.inf)
-    patience_left = np.full((n,), cfg.patience, np.int64)
     epoch_stop = np.zeros((n,), np.int64)
     best_params = [None] * n
     best_stats = [None] * n
+
+    def _snapshot(i):
+        # one host round trip per tree (not per leaf): index on device,
+        # fetch the sliced tree in a single device_get
+        best_params[i] = jax.device_get(
+            jax.tree.map(lambda a: a[i], states.params))
+        best_stats[i] = jax.device_get(
+            jax.tree.map(lambda a: a[i], states.batch_stats))
 
     for epoch in range(cfg.train_epochs):
         beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
@@ -80,10 +93,10 @@ def run_ensemble_experiment(cfg: Config,
                 [schedules[i][k] for i in range(n)], x_all, y_all, m_all)
             states, loss, _ = et.train_step(states, batches, beta,
                                             alive=alive)
-            losses.append(np.asarray(loss))
+            losses.append(loss)   # device arrays; fetched only when logging
         val_acc = _eval_accuracy(et, states, val_data, cfg.batch_size)
         if verbose and (epoch + 1) % cfg.log_interval == 0:
-            tl = np.stack(losses).mean(axis=0)
+            tl = np.stack(jax.device_get(losses)).mean(axis=0)
             print(f"Epoch {epoch + 1}/{cfg.train_epochs} | "
                   f"alive {int(alive.sum())}/{n} | "
                   f"train {np.round(tl, 4).tolist()} | "
@@ -92,18 +105,12 @@ def run_ensemble_experiment(cfg: Config,
             for i in range(n):
                 if alive[i] == 0.0:
                     continue
-                if val_acc[i] > best_val[i]:
+                if earlies[i](-val_acc[i]):
                     best_val[i] = val_acc[i]
-                    patience_left[i] = cfg.patience
-                    best_params[i] = jax.tree.map(
-                        lambda a, i=i: np.asarray(a[i]), states.params)
-                    best_stats[i] = jax.tree.map(
-                        lambda a, i=i: np.asarray(a[i]), states.batch_stats)
-                else:
-                    patience_left[i] -= 1
-                    if patience_left[i] <= 0:
-                        alive[i] = 0.0
-                        epoch_stop[i] = epoch
+                    _snapshot(i)
+                if earlies[i].early_stop:
+                    alive[i] = 0.0
+                    epoch_stop[i] = epoch
         epoch_stop[alive > 0] = epoch
         if not alive.any():
             if verbose:
@@ -114,16 +121,15 @@ def run_ensemble_experiment(cfg: Config,
     # seeds that never improved past min_epochs: use final state
     for i in range(n):
         if best_params[i] is None:
-            best_params[i] = jax.tree.map(
-                lambda a, i=i: np.asarray(a[i]), states.params)
-            best_stats[i] = jax.tree.map(
-                lambda a, i=i: np.asarray(a[i]), states.batch_stats)
+            _snapshot(i)
 
-    # one vectorized test pass over the stacked per-seed best params
+    # one vectorized test pass over the stacked per-seed best params,
+    # with the reference's test-time gating semantics (gating only at test)
     stacked_p = jax.tree.map(lambda *ls: np.stack(ls), *best_params)
     stacked_s = jax.tree.map(lambda *ls: np.stack(ls), *best_stats)
     states = states.replace(params=stacked_p, batch_stats=stacked_s)
-    test_acc = _eval_accuracy(et, states, test_data, cfg.batch_size)
+    test_acc = _eval_accuracy(et, states, test_data, cfg.batch_size,
+                              gating_value=cfg.gating_value)
 
     return [{"seed": seeds[i],
              "accuracy": 100.0 * float(test_acc[i]),

@@ -170,20 +170,30 @@ class Trainer:
         batch = self._device_batch(batch)
         return self._eval_steps[gating_value](state, batch)
 
+    def device_batch_from_local(self, batch):
+        """Multi-host dp input path: `batch` holds THIS process's rows of
+        the global batch; returns global jax.Arrays assembled from the
+        per-process shards (parallel/mesh.py:global_batch_from_local).
+        Feed the result to train_step — _device_batch passes
+        already-global arrays through untouched."""
+        from sie_tpu.parallel.mesh import global_batch_from_local
+        assert self.mesh is not None
+        return global_batch_from_local(
+            tuple(np.asarray(b) for b in batch), self.mesh)
+
     def _device_batch(self, batch):
+        # idempotent: callers may pre-place batches (prefetch_to_device
+        # uses this method as its device_put hook, then train_step calls
+        # it again). Global arrays from device_batch_from_local span
+        # non-addressable devices and must pass through untouched.
+        if any(isinstance(b, jax.Array) and not b.is_fully_addressable
+               for b in batch):
+            return tuple(batch)
+        batch = tuple(jnp.asarray(b) for b in batch)
         if self.mesh is not None:
-            from sie_tpu.parallel.mesh import (global_batch_from_local,
-                                               mesh_spans_processes,
-                                               shard_batch)
-            if mesh_spans_processes(self.mesh):
-                # multi-host dp: the caller feeds THIS process's rows of
-                # the global batch; assemble the global array from local
-                # shards (parallel/mesh.py:global_batch_from_local)
-                return global_batch_from_local(
-                    tuple(np.asarray(b) for b in batch), self.mesh)
-            return shard_batch(tuple(jnp.asarray(b) for b in batch),
-                               self.mesh)
-        return tuple(jnp.asarray(b) for b in batch)
+            from sie_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        return batch
 
     def _update(self, state: TrainState, batch, beta):
         """Shared body of the jitted train steps: loss+grad, optimizer update,

@@ -51,7 +51,8 @@ trainer = Trainer(cfg, steps_per_epoch=3, mesh=mesh)
 state = trainer.init_state(local, seed=0)
 losses = []
 for _ in range(3):
-    state, loss, _ = trainer.train_step(state, local, beta=1.0)
+    gbatch = trainer.device_batch_from_local(local)
+    state, loss, _ = trainer.train_step(state, gbatch, beta=1.0)
     losses.append(float(jax.device_get(loss)))
 with open(os.path.join({out!r}, "loss_%d.json" % pid), "w") as f:
     json.dump(losses, f)
