@@ -161,10 +161,12 @@ class Predictor:
 
     def __init__(self, cfg: Config, variables: Dict[str, Any],
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 max_batch: int = 256):
+                 max_batch: int = 256, temperature: float = 1.0):
         self.cfg = cfg
         self.model = build_model(cfg)
         self.mesh = mesh
+        self.temperature = float(temperature)   # scales probs only
+        # (classes/argmax are temperature-invariant; see calibrate())
         self._dp = 1
         if mesh is not None and "data" in mesh.axis_names:
             self._dp = mesh.shape["data"]
@@ -208,6 +210,9 @@ class Predictor:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(config_to_json(self.cfg))
+        if self.temperature != 1.0:
+            with open(os.path.join(path, "calibration.json"), "w") as f:
+                json.dump({"temperature": self.temperature}, f)
         if quantize:
             from sie_tpu import quant
             variables = {"params": self.variables["params"],
@@ -223,6 +228,10 @@ class Predictor:
     def load_bundle(cls, path: str, **kw) -> "Predictor":
         with open(os.path.join(path, "config.json")) as f:
             cfg = config_from_json(f.read())
+        cal = os.path.join(path, "calibration.json")
+        if os.path.exists(cal) and "temperature" not in kw:
+            with open(cal) as f:
+                kw["temperature"] = json.load(f)["temperature"]
         qpath = os.path.join(path, "weights_q.npz")
         if os.path.exists(qpath):
             from sie_tpu import quant
@@ -232,6 +241,45 @@ class Predictor:
                 variables["batch_stats"] = restored["batch_stats"]
             return cls(cfg, variables, **kw)
         return cls.from_checkpoint(cfg, ckpt_dir=path, **kw)
+
+    # ---- probability calibration --------------------------------------------
+    def calibrate(self, x: np.ndarray, y: np.ndarray,
+                  padding_mask: Optional[np.ndarray] = None,
+                  bounds=(0.05, 20.0)) -> float:
+        """Temperature scaling (Guo et al. 2017; beyond reference — the
+        reference reports raw-softmax probabilities): fit a single scalar T
+        minimizing NLL of softmax(logits / T) on held-out (x, y), store it
+        on the predictor, and return it. `predict().probs` then uses T;
+        `classes`/`logits` are unchanged (argmax is T-invariant), so
+        accuracy is identical and only confidence is recalibrated.
+        `save_bundle` persists T (calibration.json); `load_bundle`
+        restores it."""
+        logits = self.predict(np.asarray(x, np.float32),
+                              padding_mask).logits.astype(np.float64)
+        y = np.asarray(y).astype(np.int64)
+
+        def nll(t):
+            z = logits / t
+            z = z - z.max(-1, keepdims=True)
+            lse = np.log(np.exp(z).sum(-1))
+            return float(np.mean(lse - z[np.arange(len(y)), y]))
+
+        # golden-section on log T (nll is smooth, quasi-convex in log T)
+        lo, hi = np.log(bounds[0]), np.log(bounds[1])
+        gr = (np.sqrt(5.0) - 1) / 2
+        a, b = hi - gr * (hi - lo), lo + gr * (hi - lo)
+        fa, fb = nll(np.exp(a)), nll(np.exp(b))
+        for _ in range(60):
+            if fa < fb:
+                hi, b, fb = b, a, fa
+                a = hi - gr * (hi - lo)
+                fa = nll(np.exp(a))
+            else:
+                lo, a, fa = a, b, fb
+                b = lo + gr * (hi - lo)
+                fb = nll(np.exp(b))
+        self.temperature = float(np.exp((lo + hi) / 2))
+        return self.temperature
 
     # ---- ahead-of-time StableHLO artifacts ----------------------------------
     def export_stablehlo(self, path: str, batch_sizes=(1,),
@@ -360,7 +408,8 @@ class Predictor:
         logits = np.asarray(jax.device_get(logits))[:b]
         info = jax.device_get(info)
         grab = lambda a: np.asarray(a)[:b] if a is not None else None
-        e = logits - logits.max(-1, keepdims=True)
+        e = logits / self.temperature
+        e -= e.max(-1, keepdims=True)
         probs = np.exp(e)
         probs /= probs.sum(-1, keepdims=True)
         return {

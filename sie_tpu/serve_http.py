@@ -103,6 +103,7 @@ class PredictorServer:
         return {"status": "ok", "model": cfg.model, "dnn_type": cfg.dnn_type,
                 "num_class": cfg.num_class, "seq_len": cfg.seq_len,
                 "enc_in": cfg.enc_in, "max_batch": self.predictor.max_batch,
+                "temperature": self.predictor.temperature,
                 "quantized": bool(
                     has_quantized(self.predictor.variables["params"]))}
 

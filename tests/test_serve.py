@@ -185,3 +185,31 @@ def test_cli_export_bundle_and_serve(tmp_path):
     out = pred.predict(test_data.x)
     acc = 100.0 * float((out.classes == test_data.y).mean())
     assert abs(acc - metrics["accuracy"]) < 1e-6
+
+
+def test_temperature_calibration(toy, tmp_path):
+    """calibrate() fits T minimizing NLL on held-out data: calibrated NLL
+    <= raw NLL, classes unchanged, T persists through bundle round-trip."""
+    cfg, model, variables, x, ck = toy
+    pred = Predictor.from_checkpoint(cfg, ckpt_dir=ck)
+    rng = np.random.default_rng(1)
+    xv = rng.normal(size=(16, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    yv = rng.integers(0, cfg.num_class, 16)
+
+    raw = pred.predict(xv)
+    t = pred.calibrate(xv, yv)
+    assert 0.05 <= t <= 20.0
+    cal = pred.predict(xv)
+    np.testing.assert_array_equal(cal.classes, raw.classes)
+    np.testing.assert_allclose(cal.logits, raw.logits, atol=1e-6)
+
+    def nll(probs):
+        return -np.mean(np.log(probs[np.arange(len(yv)), yv] + 1e-12))
+
+    assert nll(cal.probs) <= nll(raw.probs) + 1e-9
+
+    bundle = str(tmp_path / "calb")
+    pred.save_bundle(bundle)
+    back = Predictor.load_bundle(bundle)
+    assert back.temperature == pytest.approx(t, rel=1e-6)
+    np.testing.assert_allclose(back.predict(xv).probs, cal.probs, atol=1e-5)
