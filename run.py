@@ -204,9 +204,10 @@ def get_args(argv=None):
     p.add_argument("--augment_tshift_max", type=int, default=16)
     p.add_argument("--metrics_jsonl", type=str, default=None,
                    help="append one JSON line per epoch (epoch/train_loss/"
-                        "val_loss/val_accuracy/beta/seconds/seed) — "
-                        "machine-readable training telemetry for "
-                        "monitoring; the reference only prints")
+                        "val_loss/beta/seconds/seed, plus val_accuracy for "
+                        "classification) — machine-readable training "
+                        "telemetry for monitoring; the reference only "
+                        "prints")
     p.add_argument("--export_stablehlo", type=str, default=None,
                    help="after test, export self-contained ahead-of-time "
                         "StableHLO serving artifacts (weights baked in; "
@@ -247,9 +248,11 @@ def args_to_config(args, seed: int) -> Config:
     pooling = None if args.eegcnn_pooling == "none" else args.eegcnn_pooling
     fields = {f for f in Config.__dataclass_fields__}
     kw = {k: v for k, v in vars(args).items() if k in fields}
+    from sie_tpu.data.augment import validate as validate_augment
     kw.update(subject_ids=tuple(subject_ids), seed=seed,
-              augment=tuple(t.strip() for t in args.augment.split(",")
-                            if t.strip()),
+              augment=validate_augment(
+                  tuple(t.strip() for t in args.augment.split(",")
+                        if t.strip())),
               mesh_shape=mesh_shape,
               mesh_axes=tuple(t.strip() for t in args.mesh_axes.split(",")
                               if t.strip()),

@@ -124,7 +124,17 @@ def encoder_layer_stage_fn(cfg, rng: Optional[jax.Array] = None,
     layer = EncoderLayer(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.dropout,
                          cfg.activation, cfg.compute_dtype,
                          use_flash=False, use_fused=cfg.use_fused_attention,
-                         fused_max_len=cfg.fused_attention_max_len)
+                         fused_max_len=cfg.fused_attention_max_len,
+                         moe_experts=cfg.moe_experts,
+                         moe_capacity_factor=cfg.moe_capacity_factor,
+                         moe_top_k=cfg.moe_top_k,
+                         moe_aux_weight=cfg.moe_aux_weight)
+    # NOTE: with moe_experts > 0 the stage params match the Transformer's
+    # layer_i/moe_ffn/* structure and routing runs per microbatch, but the
+    # router's sown load-balance loss is NOT collected under the pipeline
+    # (apply runs without a mutable 'losses' collection — sow is a no-op);
+    # fine for inference/experiments, train MoE through the standard
+    # Encoder path when the aux loss matters.
 
     def stage_fn(p, xm, t):
         rngs = None

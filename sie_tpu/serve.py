@@ -82,6 +82,15 @@ def config_from_json(text: str) -> Config:
 _CFG = "cfg"   # predict() sentinel: take gating_value from the config
 
 
+def _softmax_probs(logits: np.ndarray, temperature: float = 1.0
+                   ) -> np.ndarray:
+    """Shared (live + AOT) host-side softmax with temperature scaling."""
+    e = np.asarray(logits, np.float64) / temperature
+    e -= e.max(-1, keepdims=True)
+    p = np.exp(e)
+    return (p / p.sum(-1, keepdims=True)).astype(np.float32)
+
+
 def _zero_variables(model, cfg: Config) -> Dict[str, Any]:
     """Checkpoint template with the right tree structure/shapes, built
     without running the model (eval_shape traces abstractly). Always carries
@@ -149,9 +158,7 @@ class CompiledPredictor:
         keys = pieces[0].keys()
         merged = {k: np.concatenate([p[k] for p in pieces]) for k in keys}
         logits = merged.pop("logits")
-        e = logits - logits.max(-1, keepdims=True)
-        probs = np.exp(e)
-        probs /= probs.sum(-1, keepdims=True)
+        probs = _softmax_probs(logits, self.manifest.get("temperature", 1.0))
         return PredictOutput(logits=logits, probs=probs,
                              classes=np.argmax(logits, -1), **merged)
 
@@ -210,19 +217,27 @@ class Predictor:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(config_to_json(self.cfg))
+        cal = os.path.join(path, "calibration.json")
         if self.temperature != 1.0:
-            with open(os.path.join(path, "calibration.json"), "w") as f:
+            with open(cal, "w") as f:
                 json.dump({"temperature": self.temperature}, f)
+        elif os.path.exists(cal):
+            os.remove(cal)   # re-export must not resurrect a stale T
+        qfile = os.path.join(path, "weights_q.npz")
+        ckfile = ckpt.checkpoint_path(path)
         if quantize:
             from sie_tpu import quant
             variables = {"params": self.variables["params"],
                          "batch_stats": self.variables.get("batch_stats", {})}
-            quant.save_quantized(os.path.join(path, "weights_q.npz"),
-                                 jax.device_get(variables),
+            quant.save_quantized(qfile, jax.device_get(variables),
                                  min_size=min_size, exclude=exclude)
+            if os.path.exists(ckfile):   # in-place re-export: one format only
+                os.remove(ckfile)
         else:
             ckpt.save_checkpoint(path, self.variables["params"],
                                  self.variables.get("batch_stats", {}))
+            if os.path.exists(qfile):
+                os.remove(qfile)
 
     @classmethod
     def load_bundle(cls, path: str, **kw) -> "Predictor":
@@ -327,6 +342,7 @@ class Predictor:
                        "enc_in": self.cfg.enc_in,
                        "num_class": self.cfg.num_class,
                        "gating_value": gating_value,
+                       "temperature": self.temperature,
                        "model": self.cfg.model,
                        "dnn_type": self.cfg.dnn_type}, f, indent=1)
 
@@ -408,10 +424,7 @@ class Predictor:
         logits = np.asarray(jax.device_get(logits))[:b]
         info = jax.device_get(info)
         grab = lambda a: np.asarray(a)[:b] if a is not None else None
-        e = logits / self.temperature
-        e -= e.max(-1, keepdims=True)
-        probs = np.exp(e)
-        probs /= probs.sum(-1, keepdims=True)
+        probs = _softmax_probs(logits, self.temperature)
         return {
             "logits": logits, "probs": probs,
             "classes": np.argmax(logits, -1),

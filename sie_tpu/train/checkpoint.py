@@ -70,15 +70,19 @@ def _submit(ckpt_dir: str, fn):
 
 
 def wait_pending(ckpt_dir: Optional[str] = None):
-    """Block until queued background saves have landed; raise the first
-    recorded background write error (ckpt_dir is accepted for call-site
-    clarity — the queue is global, so all pending saves are drained)."""
+    """Block until queued background saves have landed, then raise the
+    first recorded write error FOR ckpt_dir (or for any dir when None).
+    The queue drain is global (one writer thread), but an unrelated
+    directory's failure must not crash this directory's save/load/exists
+    checks — its error stays recorded until someone waits on that dir or
+    on everything."""
     if _queue is not None:
         _queue.join()
-    if _errors:
-        ckdir, err = _errors.pop(0)
-        raise RuntimeError(
-            f"background checkpoint save for {ckdir!r} failed") from err
+    for idx, (ckdir, err) in enumerate(_errors):
+        if ckpt_dir is None or ckdir == ckpt_dir:
+            _errors.pop(idx)
+            raise RuntimeError(
+                f"background checkpoint save for {ckdir!r} failed") from err
 
 
 def save_checkpoint(ckpt_dir: str, params: Any, batch_stats: Any = None,

@@ -72,6 +72,7 @@ def run_ensemble_experiment(cfg: Config,
     earlies = [EarlyStopping(patience=cfg.patience) for _ in seeds]
     alive = np.ones((n,), np.float32)
     best_val = np.full((n,), -np.inf)
+    last_val = np.zeros((n,), np.float64)
     epoch_stop = np.zeros((n,), np.int64)
     best_params = [None] * n
     best_stats = [None] * n
@@ -95,6 +96,7 @@ def run_ensemble_experiment(cfg: Config,
                                             alive=alive)
             losses.append(loss)   # device arrays; fetched only when logging
         val_acc = _eval_accuracy(et, states, val_data, cfg.batch_size)
+        last_val = val_acc
         if verbose and (epoch + 1) % cfg.log_interval == 0:
             tl = np.stack(jax.device_get(losses)).mean(axis=0)
             print(f"Epoch {epoch + 1}/{cfg.train_epochs} | "
@@ -131,9 +133,11 @@ def run_ensemble_experiment(cfg: Config,
     test_acc = _eval_accuracy(et, states, test_data, cfg.batch_size,
                               gating_value=cfg.gating_value)
 
+    # seeds that never registered an improvement report their LAST val
+    # accuracy — never the test metric (no test leakage into a val field)
     return [{"seed": seeds[i],
              "accuracy": 100.0 * float(test_acc[i]),
              "val_accuracy": 100.0 * float(best_val[i])
-             if np.isfinite(best_val[i]) else 100.0 * float(test_acc[i]),
+             if np.isfinite(best_val[i]) else 100.0 * float(last_val[i]),
              "epoch_stop": int(epoch_stop[i])}
             for i in range(n)]

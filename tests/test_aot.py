@@ -84,3 +84,20 @@ def test_quantized_weights_bake_in(pred, tmp_path):
         size=(4, pred.cfg.seq_len, pred.cfg.enc_in)).astype(np.float32)
     np.testing.assert_allclose(cp.predict(x).logits,
                                qpred.predict(x).logits, atol=1e-5)
+
+
+def test_temperature_travels_into_artifact(pred, tmp_path):
+    pred.temperature = 3.0
+    try:
+        d = str(tmp_path / "aot_t")
+        pred.export_stablehlo(d, batch_sizes=(4,))
+        cp = CompiledPredictor(d)
+        assert cp.manifest["temperature"] == 3.0
+        x = np.random.default_rng(2).normal(
+            size=(4, pred.cfg.seq_len, pred.cfg.enc_in)).astype(np.float32)
+        np.testing.assert_allclose(cp.predict(x).probs,
+                                   pred.predict(x).probs, atol=1e-5)
+        np.testing.assert_allclose(cp.predict(x).logits,
+                                   pred.predict(x).logits, atol=1e-5)
+    finally:
+        pred.temperature = 1.0

@@ -131,3 +131,10 @@ def test_noise_respects_padding(xm):
     xa = np.asarray(xa)
     assert (xa[:, 20:, :] == 0.0).all()
     assert np.abs(xa[:, :20, :] - xp[:, :20, :]).max() > 0
+
+
+def test_cli_rejects_unknown_augment_at_parse():
+    import run as run_cli
+    with pytest.raises(ValueError, match="unknown augmentations"):
+        run_cli.args_to_config(run_cli.get_args(["--augment", "nois"]),
+                               seed=0)

@@ -75,3 +75,19 @@ def test_background_write_error_is_raised(tmp_path):
     ckpt.save_checkpoint(d, _params(2.0), background=True)
     restored = ckpt.load_checkpoint(d, {"params": _params(0.0)})
     assert restored["params"]["dense"]["kernel"][0, 0] == 2.0
+
+
+def test_background_error_scoped_to_its_dir(tmp_path):
+    """A failed save for dir A must not crash dir B's has_checkpoint; the
+    error surfaces when waiting on A (or on everything)."""
+    import pytest
+    bad = tmp_path / "bad" / ckpt.CKPT_NAME
+    bad.parent.mkdir()
+    bad.mkdir()
+    ckpt.save_checkpoint(str(bad.parent), _params(1.0), background=True)
+    other = str(tmp_path / "other")
+    ckpt.save_checkpoint(other, _params(5.0), background=True)
+    assert ckpt.has_checkpoint(other)          # unaffected by bad's error
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        ckpt.wait_pending(str(bad.parent))
+    ckpt.wait_pending()                         # drained: no re-raise

@@ -85,3 +85,29 @@ def test_pipeline_rejects_bad_splits():
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
     with pytest.raises(ValueError, match="microbatch"):
         pipelined_encoder_apply(cfg, params, x, mesh, n_microbatches=3)
+
+
+def test_pipelined_moe_encoder_matches_sequential():
+    """MoE encoder params run under the pipeline executor (stage layers
+    carry the moe_* fields); output equals the sequential Encoder apply."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sie_tpu.config import Config
+    from sie_tpu.models.layers import Encoder
+    from sie_tpu.parallel.pipeline import pipelined_encoder_apply
+
+    cfg = Config(d_model=16, d_ff=32, n_heads=2, e_layers=2, dropout=0.0,
+                 amp=False, moe_experts=4, moe_top_k=1,
+                 use_fused_attention=False)
+    enc = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
+                  cfg.dropout, cfg.activation,
+                  moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(4, 8, cfg.d_model)).astype(np.float32))
+    variables = enc.init(jax.random.key(0), x, train=False)
+    y_seq = enc.apply(variables, x, train=False)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pipe",))
+    y_pipe = pipelined_encoder_apply(cfg, variables["params"], x, mesh,
+                                     n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq),
+                               atol=1e-5)

@@ -150,3 +150,31 @@ def test_cli_quantized_bundle_accuracy(tmp_path):
             pred.variables["params"], is_leaf=quant._is_q)
         if isinstance(l, quant.QTensor))
     assert qsize < n_quant_bytes / 2
+
+
+def test_bundle_reexport_switches_format(tmp_path):
+    """Re-exporting a bundle in-place must not leave the other weight
+    format behind (load prefers weights_q.npz)."""
+    cfg, pred = _toy_predictor(tmp_path)
+    d = str(tmp_path / "b")
+    pred.save_bundle(d, quantize=True, min_size=256)
+    assert os.path.exists(os.path.join(d, "weights_q.npz"))
+    pred.save_bundle(d)                       # back to f32 in-place
+    assert not os.path.exists(os.path.join(d, "weights_q.npz"))
+    assert not quant.has_quantized(
+        Predictor.load_bundle(d).variables["params"])
+    pred.save_bundle(d, quantize=True, min_size=256)
+    assert not os.path.exists(os.path.join(d, "checkpoint.msgpack"))
+    assert quant.has_quantized(
+        Predictor.load_bundle(d).variables["params"])
+
+
+def test_stale_calibration_cleared_on_resave(tmp_path):
+    cfg, pred = _toy_predictor(tmp_path)
+    d = str(tmp_path / "b2")
+    pred.temperature = 2.5
+    pred.save_bundle(d)
+    assert Predictor.load_bundle(d).temperature == 2.5
+    pred.temperature = 1.0
+    pred.save_bundle(d)                       # re-export uncalibrated
+    assert Predictor.load_bundle(d).temperature == 1.0
