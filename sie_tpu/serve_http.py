@@ -11,6 +11,8 @@ Endpoints:
 
 - `GET /healthz`  -> {"status": "ok", ...model/bundle facts}
 - `GET /config`   -> the bundle's full config JSON
+- `GET /metrics`  -> Prometheus text format: request/row/error counters
+  and a request-latency histogram (scrape-ready)
 - `POST /predict` -> body {"x": [[[...]]], "padding_mask"?: [[...]],
   "gating_value"?: float|null} (x: (B, seq_len, enc_in) nested lists, or a
   base64 little-endian f32 buffer as {"x_b64": ..., "shape": [B, T, C]}
@@ -61,6 +63,10 @@ def _decode_x(payload: dict, seq_len: int, enc_in: int) -> np.ndarray:
     return np.ascontiguousarray(x, np.float32)
 
 
+_LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
+                    5.0, 10.0)
+
+
 class PredictorServer:
     """Owns the Predictor + a lock; builds the request handler class."""
 
@@ -68,6 +74,52 @@ class PredictorServer:
         self.predictor = predictor
         self.max_request_rows = max_request_rows
         self.lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._requests = 0
+        self._rows = 0
+        self._errors = {"400": 0, "500": 0}
+        self._latency_sum = 0.0
+        self._latency_buckets = [0] * (len(_LATENCY_BUCKETS) + 1)
+
+    def _record(self, rows: int, seconds: float):
+        with self._stats_lock:
+            self._requests += 1
+            self._rows += rows
+            self._latency_sum += seconds
+            for i, edge in enumerate(_LATENCY_BUCKETS):
+                if seconds <= edge:
+                    self._latency_buckets[i] += 1
+                    break
+            else:
+                self._latency_buckets[-1] += 1
+
+    def _record_error(self, code: int):
+        with self._stats_lock:
+            key = str(code)
+            self._errors[key] = self._errors.get(key, 0) + 1
+
+    def metrics_text(self) -> str:
+        with self._stats_lock:
+            lines = [
+                "# TYPE sie_tpu_requests_total counter",
+                f"sie_tpu_requests_total {self._requests}",
+                "# TYPE sie_tpu_rows_total counter",
+                f"sie_tpu_rows_total {self._rows}",
+                "# TYPE sie_tpu_errors_total counter",
+            ]
+            for code, n in sorted(self._errors.items()):
+                lines.append(f'sie_tpu_errors_total{{code="{code}"}} {n}')
+            lines.append("# TYPE sie_tpu_request_seconds histogram")
+            cum = 0
+            for edge, n in zip(_LATENCY_BUCKETS, self._latency_buckets):
+                cum += n
+                lines.append(
+                    f'sie_tpu_request_seconds_bucket{{le="{edge}"}} {cum}')
+            cum += self._latency_buckets[-1]
+            lines.append(f'sie_tpu_request_seconds_bucket{{le="+Inf"}} {cum}')
+            lines.append(f"sie_tpu_request_seconds_sum {self._latency_sum}")
+            lines.append(f"sie_tpu_request_seconds_count {self._requests}")
+            return "\n".join(lines) + "\n"
 
     # ---- request handling ------------------------------------------------
     def handle_predict(self, payload: dict) -> dict:
@@ -131,20 +183,35 @@ class PredictorServer:
                 elif self.path == "/config":
                     self._send(200, json.loads(
                         config_to_json(server.predictor.cfg)))
+                elif self.path == "/metrics":
+                    body = server.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                import time
                 if self.path != "/predict":
                     self._send(404, {"error": f"no route {self.path}"})
                     return
+                t0 = time.perf_counter()
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
-                    self._send(200, server.handle_predict(payload))
+                    resp = server.handle_predict(payload)
+                    server._record(len(resp["classes"]),
+                                   time.perf_counter() - t0)
+                    self._send(200, resp)
                 except (ValueError, KeyError, TypeError) as e:
+                    server._record_error(400)
                     self._send(400, {"error": str(e)})
                 except Exception as e:        # noqa: BLE001 — serving loop
+                    server._record_error(500)
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return Handler

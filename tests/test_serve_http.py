@@ -138,3 +138,27 @@ def test_concurrent_requests(server):
     [t.join() for t in threads]
     assert all(code == 200 and out["classes"] == want
                for code, out in results)
+
+
+def test_metrics_endpoint(server):
+    base, pred, cfg = server
+    x = np.zeros((2, cfg.seq_len, cfg.enc_in), np.float32)
+    code, _ = _post(base + "/predict", {"x": x.tolist()})
+    assert code == 200
+    _post(base + "/predict", {})                 # one 400
+    with urllib.request.urlopen(base + "/metrics") as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)
+    assert metrics["sie_tpu_requests_total"] >= 1
+    assert metrics["sie_tpu_rows_total"] >= 2
+    assert metrics['sie_tpu_errors_total{code="400"}'] >= 1
+    assert metrics['sie_tpu_request_seconds_bucket{le="+Inf"}'] == \
+        metrics["sie_tpu_requests_total"]
+    assert metrics["sie_tpu_request_seconds_sum"] > 0
