@@ -26,6 +26,13 @@ is the throughput bound, and buckets keep it busy; run replicas behind a
 load balancer to scale hosts. `--warmup` pre-compiles the common buckets
 before the socket opens so first requests do not pay the (minutes-long on
 a cold relay) compile.
+
+Dynamic micro-batching (`--batch_window_ms`): instead of one device
+dispatch per request, concurrent requests queue for up to the window and
+are coalesced into ONE predict call (grouped by gating_value, capped at
+the Predictor's max_batch), then the outputs are split back per request.
+Small-request traffic rides the larger (more efficient) bucket programs;
+a lone request pays at most the window in added latency. Off by default.
 """
 
 from __future__ import annotations
@@ -33,7 +40,9 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import queue as _queue_mod
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -67,13 +76,31 @@ _LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
                     5.0, 10.0)
 
 
+class _Pending:
+    """One queued request inside the micro-batcher."""
+
+    __slots__ = ("x", "mask", "gating", "event", "out", "err")
+
+    def __init__(self, x, mask, gating):
+        self.x, self.mask, self.gating = x, mask, gating
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+
+
 class PredictorServer:
     """Owns the Predictor + a lock; builds the request handler class."""
 
-    def __init__(self, predictor: Predictor, max_request_rows: int = 4096):
+    def __init__(self, predictor: Predictor, max_request_rows: int = 4096,
+                 batch_window_ms: float = 0.0):
         self.predictor = predictor
         self.max_request_rows = max_request_rows
         self.lock = threading.Lock()
+        self.batch_window = batch_window_ms / 1e3
+        self.batched_dispatches = 0     # predict calls made by the batcher
+        if self.batch_window > 0:
+            self._bq: _queue_mod.Queue = _queue_mod.Queue()
+            threading.Thread(target=self._batcher_loop, daemon=True).start()
         self._stats_lock = threading.Lock()
         self._requests = 0
         self._rows = 0
@@ -135,11 +162,10 @@ class PredictorServer:
                 raise ValueError(
                     f"padding_mask must be {x.shape[:2]}; got {mask.shape}")
         gating = payload.get("gating_value", _MISSING)
-        with self.lock:
-            if gating is _MISSING:
-                out = self.predictor.predict(x, mask)
-            else:
-                out = self.predictor.predict(x, mask, gating_value=gating)
+        if self.batch_window > 0:
+            out = self._predict_batched(x, mask, gating)
+        else:
+            out = self._predict_now(x, mask, gating)
         resp = {"logits": out.logits.tolist(),
                 "probs": out.probs.tolist(),
                 "classes": out.classes.tolist()}
@@ -148,6 +174,64 @@ class PredictorServer:
             if v is not None:
                 resp[k] = np.asarray(v).tolist()
         return resp
+
+    def _predict_now(self, x, mask, gating):
+        with self.lock:
+            if gating is _MISSING:
+                return self.predictor.predict(x, mask)
+            return self.predictor.predict(x, mask, gating_value=gating)
+
+    # ---- dynamic micro-batching -------------------------------------------
+    def _predict_batched(self, x, mask, gating):
+        if mask is None:
+            mask = np.ones(x.shape[:2], np.float32)
+        p = _Pending(x, mask, gating)
+        self._bq.put(p)
+        if not p.event.wait(timeout=600.0):
+            raise RuntimeError("micro-batcher timed out")
+        if p.err is not None:
+            raise p.err
+        return p.out
+
+    def _batcher_loop(self):
+        while True:
+            group = [self._bq.get()]
+            rows = group[0].x.shape[0]
+            deadline = time.monotonic() + self.batch_window
+            while rows < self.predictor.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._bq.get(timeout=remaining)
+                except _queue_mod.Empty:
+                    break
+                group.append(nxt)
+                rows += nxt.x.shape[0]
+            # one predict per distinct gating value in the window
+            by_gating: dict = {}
+            for p in group:
+                by_gating.setdefault(p.gating, []).append(p)
+            for gating, ps in by_gating.items():
+                try:
+                    xs = np.concatenate([p.x for p in ps])
+                    ms = np.concatenate([p.mask for p in ps])
+                    out = self._predict_now(xs, ms, gating)
+                    self.batched_dispatches += 1
+                    lo = 0
+                    for p in ps:
+                        b = p.x.shape[0]
+                        sl = {f: (None if getattr(out, f) is None else
+                                  np.asarray(getattr(out, f))[lo:lo + b])
+                              for f in out.__dataclass_fields__}
+                        p.out = type(out)(**sl)
+                        lo += b
+                except Exception as e:   # noqa: BLE001 — worker loop
+                    for p in ps:
+                        p.err = e
+                finally:
+                    for p in ps:
+                        p.event.set()
 
     def health(self) -> dict:
         cfg = self.predictor.cfg
@@ -231,6 +315,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--port", type=int, default=8723)
     p.add_argument("--max_batch", type=int, default=256)
     p.add_argument("--max_request_rows", type=int, default=4096)
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent requests for up to this many "
+                        "ms into one device batch (dynamic micro-batching;"
+                        " 0 = off)")
     p.add_argument("--warmup", type=int, nargs="*", default=[1, 32],
                    help="batch sizes to pre-compile before accepting traffic")
     args = p.parse_args(argv)
@@ -238,7 +326,8 @@ def main(argv: Optional[list] = None) -> None:
     predictor = Predictor.load_bundle(args.bundle, max_batch=args.max_batch)
     if args.warmup:
         predictor.warmup(batch_sizes=tuple(args.warmup))
-    server = PredictorServer(predictor, args.max_request_rows)
+    server = PredictorServer(predictor, args.max_request_rows,
+                             batch_window_ms=args.batch_window_ms)
     print(f"serving {args.bundle} on http://{args.host}:{args.port}")
     server.serve(args.host, args.port)
 

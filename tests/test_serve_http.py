@@ -162,3 +162,104 @@ def test_metrics_endpoint(server):
     assert metrics['sie_tpu_request_seconds_bucket{le="+Inf"}'] == \
         metrics["sie_tpu_requests_total"]
     assert metrics["sie_tpu_request_seconds_sum"] > 0
+
+
+@pytest.fixture(scope="module")
+def batched_server():
+    from sie_tpu.models import build_model
+    cfg = Config(model="DNN", dnn_type="FCN", seq_len=24, enc_in=3,
+                 num_class=4, dropout=0.0, amp=False, use_pallas=False,
+                 seed=0)
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, cfg.seq_len, cfg.enc_in), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x0, jnp.ones((2, cfg.seq_len)), train=False)
+    v = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        v["batch_stats"] = variables["batch_stats"]
+    pred = Predictor(cfg, v)
+    srv = PredictorServer(pred, max_request_rows=64, batch_window_ms=150.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", pred, cfg, srv
+    httpd.shutdown()
+
+
+def test_micro_batching_coalesces_and_matches_direct(batched_server):
+    """Concurrent small requests inside the window are served by FEWER
+    device dispatches than requests, with per-request outputs equal to
+    direct predictor calls."""
+    base, pred, cfg, srv = batched_server
+    rng = np.random.default_rng(0)
+    xs = [rng.normal(size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+          for _ in range(6)]
+    # warm the jit outside the measured burst
+    _post(base + "/predict", {"x": xs[0].tolist()})
+    before = srv.batched_dispatches
+    results = [None] * 6
+
+    def hit(i):
+        results[i] = _post(base + "/predict", {"x": xs[i].tolist()})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    for i in range(6):
+        code, out = results[i]
+        assert code == 200
+        np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                                   pred.predict(xs[i]).logits, atol=1e-5)
+    dispatches = srv.batched_dispatches - before
+    assert dispatches < 6       # at least some coalescing happened
+
+
+def test_micro_batching_gating_groups_separate(batched_server):
+    """Requests with different gating_value in one window must not share a
+    device batch's gating — each comes back matching its own direct call."""
+    base, pred, cfg, srv = batched_server
+    x = np.random.default_rng(1).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    results = {}
+
+    def hit(tag, payload):
+        results[tag] = _post(base + "/predict", payload)
+
+    threads = [
+        threading.Thread(target=hit,
+                         args=("plain", {"x": x.tolist()})),
+        threading.Thread(target=hit,
+                         args=("gated", {"x": x.tolist(),
+                                         "gating_value": 0.5})),
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert results["plain"][0] == 200 and results["gated"][0] == 200
+    np.testing.assert_allclose(
+        np.asarray(results["plain"][1]["logits"], np.float32),
+        pred.predict(x).logits, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(results["gated"][1]["logits"], np.float32),
+        pred.predict(x, gating_value=0.5).logits, atol=1e-5)
+
+
+def test_micro_batching_error_isolated(batched_server):
+    """A bad request in the window fails alone; good requests still
+    succeed (validation happens before enqueue)."""
+    base, pred, cfg, srv = batched_server
+    ok = np.zeros((2, cfg.seq_len, cfg.enc_in), np.float32)
+    out_ok = {}
+    out_bad = {}
+
+    def good():
+        out_ok["r"] = _post(base + "/predict", {"x": ok.tolist()})
+
+    def bad():
+        out_bad["r"] = _post(base + "/predict", {"x": [[1.0]]})
+
+    ts = [threading.Thread(target=good), threading.Thread(target=bad)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert out_ok["r"][0] == 200
+    assert out_bad["r"][0] == 400
