@@ -149,9 +149,20 @@ class PredictorServer:
             return "\n".join(lines) + "\n"
 
     # ---- request handling ------------------------------------------------
+    @property
+    def _is_aot(self) -> bool:
+        from sie_tpu.serve import CompiledPredictor
+        return isinstance(self.predictor, CompiledPredictor)
+
+    def _shape(self):
+        if self._is_aot:
+            m = self.predictor.manifest
+            return m["seq_len"], m["enc_in"]
+        return self.predictor.cfg.seq_len, self.predictor.cfg.enc_in
+
     def handle_predict(self, payload: dict) -> dict:
-        cfg = self.predictor.cfg
-        x = _decode_x(payload, cfg.seq_len, cfg.enc_in)
+        seq_len, enc_in = self._shape()
+        x = _decode_x(payload, seq_len, enc_in)
         if x.shape[0] > self.max_request_rows:
             raise ValueError(f"batch {x.shape[0]} exceeds the server limit "
                              f"{self.max_request_rows}; split the request")
@@ -162,6 +173,10 @@ class PredictorServer:
                 raise ValueError(
                     f"padding_mask must be {x.shape[:2]}; got {mask.shape}")
         gating = payload.get("gating_value", _MISSING)
+        if self._is_aot and gating is not _MISSING:
+            raise ValueError("gating_value is baked into StableHLO "
+                             "artifacts at export time and cannot be "
+                             "overridden per request")
         if self.batch_window > 0:
             out = self._predict_batched(x, mask, gating)
         else:
@@ -234,9 +249,17 @@ class PredictorServer:
                         p.event.set()
 
     def health(self) -> dict:
+        if self._is_aot:
+            m = dict(self.predictor.manifest)
+            return {"status": "ok", "serving": "stablehlo-aot",
+                    "model": m.get("model"), "dnn_type": m.get("dnn_type"),
+                    "num_class": m["num_class"], "seq_len": m["seq_len"],
+                    "enc_in": m["enc_in"], "max_batch": m["buckets"][-1],
+                    "temperature": m.get("temperature", 1.0)}
         cfg = self.predictor.cfg
         from sie_tpu.quant import has_quantized
-        return {"status": "ok", "model": cfg.model, "dnn_type": cfg.dnn_type,
+        return {"status": "ok", "serving": "live",
+                "model": cfg.model, "dnn_type": cfg.dnn_type,
                 "num_class": cfg.num_class, "seq_len": cfg.seq_len,
                 "enc_in": cfg.enc_in, "max_batch": self.predictor.max_batch,
                 "temperature": self.predictor.temperature,
@@ -265,8 +288,11 @@ class PredictorServer:
                 if self.path == "/healthz":
                     self._send(200, server.health())
                 elif self.path == "/config":
-                    self._send(200, json.loads(
-                        config_to_json(server.predictor.cfg)))
+                    if server._is_aot:
+                        self._send(200, dict(server.predictor.manifest))
+                    else:
+                        self._send(200, json.loads(
+                            config_to_json(server.predictor.cfg)))
                 elif self.path == "/metrics":
                     body = server.metrics_text().encode()
                     self.send_response(200)
@@ -309,8 +335,13 @@ class PredictorServer:
 
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--bundle", required=True,
-                   help="serving bundle dir (--export_bundle)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bundle",
+                     help="serving bundle dir (--export_bundle)")
+    src.add_argument("--stablehlo",
+                     help="ahead-of-time StableHLO artifact dir "
+                          "(--export_stablehlo); serves CompiledPredictor "
+                          "— no model code/weights loaded")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8723)
     p.add_argument("--max_batch", type=int, default=256)
@@ -323,12 +354,18 @@ def main(argv: Optional[list] = None) -> None:
                    help="batch sizes to pre-compile before accepting traffic")
     args = p.parse_args(argv)
 
-    predictor = Predictor.load_bundle(args.bundle, max_batch=args.max_batch)
-    if args.warmup:
-        predictor.warmup(batch_sizes=tuple(args.warmup))
+    if args.stablehlo:
+        from sie_tpu.serve import CompiledPredictor
+        predictor = CompiledPredictor(args.stablehlo)   # pre-compiled
+    else:
+        predictor = Predictor.load_bundle(args.bundle,
+                                          max_batch=args.max_batch)
+        if args.warmup:
+            predictor.warmup(batch_sizes=tuple(args.warmup))
+    src_dir = args.stablehlo or args.bundle
     server = PredictorServer(predictor, args.max_request_rows,
                              batch_window_ms=args.batch_window_ms)
-    print(f"serving {args.bundle} on http://{args.host}:{args.port}")
+    print(f"serving {src_dir} on http://{args.host}:{args.port}")
     server.serve(args.host, args.port)
 
 

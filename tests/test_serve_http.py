@@ -263,3 +263,48 @@ def test_micro_batching_error_isolated(batched_server):
     [t.join() for t in ts]
     assert out_ok["r"][0] == 200
     assert out_bad["r"][0] == 400
+
+
+def test_serving_aot_artifact_over_http(tmp_path):
+    """PredictorServer serves a CompiledPredictor: health/config from the
+    manifest, predict parity, gating override rejected (baked at export)."""
+    from sie_tpu.serve import CompiledPredictor
+    from sie_tpu.models import build_model
+    cfg = Config(model="InterpGN", dnn_type="FCN", seq_len=24, enc_in=3,
+                 num_class=4, num_shapelet=2, d_model=16, d_ff=32,
+                 n_heads=2, e_layers=1, dropout=0.0, amp=False,
+                 use_pallas=False, seed=0)
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, cfg.seq_len, cfg.enc_in), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x0, jnp.ones((2, cfg.seq_len)), train=False)
+    v = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        v["batch_stats"] = variables["batch_stats"]
+    live = Predictor(cfg, v)
+    d = str(tmp_path / "aot")
+    live.export_stablehlo(d, batch_sizes=(4,))
+    cp = CompiledPredictor(d)
+
+    srv = PredictorServer(cp, max_request_rows=16)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, h = _get(base + "/healthz")
+        assert code == 200 and h["serving"] == "stablehlo-aot"
+        assert h["max_batch"] == 4
+        code, c = _get(base + "/config")
+        assert code == 200 and c["buckets"] == [4]
+        x = np.random.default_rng(0).normal(
+            size=(3, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+        code, out = _post(base + "/predict", {"x": x.tolist()})
+        assert code == 200
+        np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                                   live.predict(x).logits, atol=1e-5)
+        code, err = _post(base + "/predict",
+                          {"x": x.tolist(), "gating_value": 0.5})
+        assert code == 400 and "baked" in err["error"]
+    finally:
+        httpd.shutdown()
