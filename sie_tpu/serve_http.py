@@ -98,6 +98,10 @@ class PredictorServer:
         self.lock = threading.Lock()
         self.batch_window = batch_window_ms / 1e3
         self.batched_dispatches = 0     # predict calls made by the batcher
+        # live Predictor has .max_batch; CompiledPredictor's cap is its
+        # largest exported bucket
+        self._coalesce_cap = getattr(
+            predictor, "max_batch", None) or predictor.manifest["buckets"][-1]
         if self.batch_window > 0:
             self._bq: _queue_mod.Queue = _queue_mod.Queue()
             threading.Thread(target=self._batcher_loop, daemon=True).start()
@@ -173,6 +177,9 @@ class PredictorServer:
                 raise ValueError(
                     f"padding_mask must be {x.shape[:2]}; got {mask.shape}")
         gating = payload.get("gating_value", _MISSING)
+        if gating is not _MISSING and gating is not None \
+                and not isinstance(gating, (int, float)):
+            raise ValueError("gating_value must be a number or null")
         if self._is_aot and gating is not _MISSING:
             raise ValueError("gating_value is baked into StableHLO "
                              "artifacts at export time and cannot be "
@@ -213,7 +220,7 @@ class PredictorServer:
             group = [self._bq.get()]
             rows = group[0].x.shape[0]
             deadline = time.monotonic() + self.batch_window
-            while rows < self.predictor.max_batch:
+            while rows < self._coalesce_cap:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
@@ -223,10 +230,19 @@ class PredictorServer:
                     break
                 group.append(nxt)
                 rows += nxt.x.shape[0]
-            # one predict per distinct gating value in the window
-            by_gating: dict = {}
-            for p in group:
-                by_gating.setdefault(p.gating, []).append(p)
+            # one predict per distinct gating value in the window.
+            # handle_predict validates gating hashability before enqueue;
+            # guard anyway — an exception ABOVE any try would kill the
+            # batcher thread and hang the server
+            try:
+                by_gating: dict = {}
+                for p in group:
+                    by_gating.setdefault(p.gating, []).append(p)
+            except Exception as e:   # noqa: BLE001 — worker loop
+                for p in group:
+                    p.err = e
+                    p.event.set()
+                continue
             for gating, ps in by_gating.items():
                 try:
                     xs = np.concatenate([p.x for p in ps])
@@ -305,7 +321,6 @@ class PredictorServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                import time
                 if self.path != "/predict":
                     self._send(404, {"error": f"no route {self.path}"})
                     return
@@ -318,9 +333,14 @@ class PredictorServer:
                                    time.perf_counter() - t0)
                     self._send(200, resp)
                 except (ValueError, KeyError, TypeError) as e:
+                    # errors count toward requests_total + the latency
+                    # histogram too (Prometheus convention: errors_total
+                    # is a subset, error rate = errors/requests <= 1)
+                    server._record(0, time.perf_counter() - t0)
                     server._record_error(400)
                     self._send(400, {"error": str(e)})
                 except Exception as e:        # noqa: BLE001 — serving loop
+                    server._record(0, time.perf_counter() - t0)
                     server._record_error(500)
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -65,8 +65,19 @@ def _submit(ckpt_dir: str, fn):
             _queue = _queue_mod.Queue()
             _writer = threading.Thread(target=_writer_loop, daemon=True)
             _writer.start()
-            atexit.register(lambda: _queue.join())
+            atexit.register(_drain_at_exit)
     _queue.put((ckpt_dir, fn))
+
+
+def _drain_at_exit():
+    """Best-effort shutdown: finish queued writes, and make any error that
+    nobody waited on LOUD on stderr (never silently exit 0 with a failed
+    checkpoint write)."""
+    import sys
+    _queue.join()
+    for ckdir, err in _errors:
+        print(f"[sie_tpu.checkpoint] background save for {ckdir!r} "
+              f"FAILED and was never awaited: {err!r}", file=sys.stderr)
 
 
 def wait_pending(ckpt_dir: Optional[str] = None):

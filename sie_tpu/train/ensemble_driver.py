@@ -72,7 +72,7 @@ def run_ensemble_experiment(cfg: Config,
     earlies = [EarlyStopping(patience=cfg.patience) for _ in seeds]
     alive = np.ones((n,), np.float32)
     best_val = np.full((n,), -np.inf)
-    last_val = np.zeros((n,), np.float64)
+    last_val = np.full((n,), np.nan)   # NaN = no validation epoch ever ran
     epoch_stop = np.zeros((n,), np.int64)
     best_params = [None] * n
     best_stats = [None] * n

@@ -308,3 +308,71 @@ def test_serving_aot_artifact_over_http(tmp_path):
         assert code == 400 and "baked" in err["error"]
     finally:
         httpd.shutdown()
+
+
+def test_aot_with_micro_batching_and_bad_gating(tmp_path):
+    """AOT serving + micro-batching must not kill the batcher thread:
+    requests coalesce via the manifest's bucket cap, and an unhashable
+    gating_value fails with a clean 400 (before enqueue), leaving the
+    server healthy."""
+    from sie_tpu.serve import CompiledPredictor
+    from sie_tpu.models import build_model
+    cfg = Config(model="DNN", dnn_type="FCN", seq_len=24, enc_in=3,
+                 num_class=4, dropout=0.0, amp=False, use_pallas=False,
+                 seed=0)
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, cfg.seq_len, cfg.enc_in), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x0, jnp.ones((2, cfg.seq_len)), train=False)
+    v = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        v["batch_stats"] = variables["batch_stats"]
+    live = Predictor(cfg, v)
+    d = str(tmp_path / "aot")
+    live.export_stablehlo(d, batch_sizes=(8,))
+    srv = PredictorServer(CompiledPredictor(d), max_request_rows=16,
+                          batch_window_ms=100.0)
+    assert srv._coalesce_cap == 8
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        x = np.zeros((2, cfg.seq_len, cfg.enc_in), np.float32)
+        # unhashable gating -> clean 400, batcher untouched
+        code, err = _post(base + "/predict",
+                          {"x": x.tolist(), "gating_value": [0.5]})
+        assert code == 400 and "number or null" in err["error"]
+        # batched path works through the AOT predictor
+        results = []
+
+        def hit():
+            results.append(_post(base + "/predict", {"x": x.tolist()}))
+
+        ts = [threading.Thread(target=hit) for _ in range(3)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert all(c == 200 for c, _ in results)
+        np.testing.assert_allclose(
+            np.asarray(results[0][1]["logits"], np.float32),
+            live.predict(x).logits, atol=1e-5)
+    finally:
+        httpd.shutdown()
+
+
+def test_metrics_count_errors_in_requests_total(batched_server):
+    base, _pred, cfg, srv = batched_server
+    with urllib.request.urlopen(base + "/metrics") as r:
+        before = r.read().decode()
+    _post(base + "/predict", {})      # a 400
+    with urllib.request.urlopen(base + "/metrics") as r:
+        after = r.read().decode()
+
+    def val(text, name):
+        for line in text.splitlines():
+            if line.startswith(name + " "):
+                return float(line.rsplit(" ", 1)[1])
+        return 0.0
+
+    assert val(after, "sie_tpu_requests_total") == \
+        val(before, "sie_tpu_requests_total") + 1
