@@ -210,3 +210,42 @@ def test_cli_moe_flags():
     assert cfg.moe_experts == 8 and cfg.moe_top_k == 2
     assert cfg.moe_capacity_factor == 1.5
     assert cfg.mesh_axes == ("data", "expert")
+
+
+@pytest.mark.slow
+def test_aux_loss_keeps_experts_balanced():
+    """Train a standalone MoEFFN with the load-balance aux loss: after
+    training, no expert should dominate routing (Switch's aux loss exists
+    precisely to prevent collapse onto one expert)."""
+    import optax
+
+    E_local, d, f = 4, 8, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 32, d)).astype(np.float32))
+    target = jnp.roll(x, 1, axis=-1)
+    m = MoEFFN(d, f, E_local, capacity_factor=1.5, top_k=1, aux_weight=0.05)
+    params = m.init(jax.random.key(0), x, train=False)["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            y, aux = m.apply({"params": p}, x, train=True,
+                             mutable=["losses"],
+                             rngs={"dropout": jax.random.key(1)})
+            mse = jnp.mean((y - target) ** 2)
+            return mse + sum(jnp.sum(s)
+                             for s in jax.tree.leaves(aux["losses"]))
+        g = jax.grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt
+
+    for _ in range(120):
+        params, opt = step(params, opt)
+
+    logits = x @ params["router"]["kernel"] + params["router"]["bias"]
+    choice = np.asarray(jnp.argmax(logits, -1)).ravel()
+    frac = np.bincount(choice, minlength=E_local) / choice.size
+    assert frac.max() < 0.60, frac    # balanced-ish: ideal 0.25 each
+    assert (frac > 0.02).sum() >= 2, frac   # at least two live experts
