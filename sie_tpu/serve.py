@@ -217,6 +217,13 @@ class Predictor:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(config_to_json(self.cfg))
+        with open(os.path.join(path, "bundle_meta.json"), "w") as f:
+            import time
+            from sie_tpu import __version__
+            json.dump({"framework": "sie_tpu", "version": __version__,
+                       "created_unix": int(time.time()),
+                       "quantized": bool(quantize),
+                       "temperature": self.temperature}, f, indent=1)
         cal = os.path.join(path, "calibration.json")
         if self.temperature != 1.0:
             with open(cal, "w") as f:

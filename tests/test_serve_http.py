@@ -376,3 +376,26 @@ def test_metrics_count_errors_in_requests_total(batched_server):
 
     assert val(after, "sie_tpu_requests_total") == \
         val(before, "sie_tpu_requests_total") + 1
+
+
+def test_inference_client_roundtrip(server):
+    """sie_tpu.client.InferenceClient: health/config/predict/metrics parity
+    with direct Predictor calls, b64 bulk path, server-error mapping."""
+    from sie_tpu.client import InferenceClient, ServerError
+    base, pred, cfg = server
+    c = InferenceClient(base, json_threshold_rows=2)
+    assert c.health()["status"] == "ok"
+    assert c.config()["model"] == "InterpGN"
+    rng = np.random.default_rng(9)
+    # small request: JSON path; large: b64 path — both must match direct
+    for b in (2, 5):
+        x = rng.normal(size=(b, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+        out = c.predict(x)
+        direct = pred.predict(x)
+        np.testing.assert_allclose(out.logits, direct.logits, atol=1e-5)
+        np.testing.assert_array_equal(out.classes, direct.classes)
+        assert out.eta is not None
+    with pytest.raises(ServerError) as ei:
+        c.predict(np.zeros((1, 5, 5), np.float32))
+    assert ei.value.status == 400 and "must be" in str(ei.value)
+    assert "sie_tpu_requests_total" in c.metrics()
