@@ -144,9 +144,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 # --------------------------------------------------------------------------
 # kv-blocked online-softmax variant (T > _FULL_ROW_MAX_T). Square (BLK, BLK)
 # score blocks; BQ == BK == blk keeps the padding/grid arithmetic trivial.
-# LSE and delta ride in (T_pad, BH) layout so their (blk, 1) kernel blocks
-# land on the SUBLANE axis (directly usable against (BQ, BK) score rows —
-# a (1, blk) lane layout would need an in-kernel relayout transpose).
+# LSE rides in (BH, T_pad, 128) broadcast-lane layout — the same choice as
+# jax.experimental.pallas.ops.tpu.flash_attention — because Mosaic requires
+# output blocks whose last two dims are (8, 128)-divisible or full: the
+# natural (blk, 1) per-row column block fails that check on the compiled
+# path (r3 on-chip cert caught it; interpret mode does not enforce it).
+# delta = rowsum(dO * O) is NOT materialized at all: both backward kernels
+# recompute it from their resident dO/O blocks (one (blk, dkp) elementwise
+# multiply + rowsum per program — noise vs the block matmuls), which also
+# removes the second Mosaic-illegal (blk, 1) input spec.
 # --------------------------------------------------------------------------
 
 _FULL_ROW_MAX_T = 4096   # above this, full K/V rows + (BQ, T_pad) live
@@ -189,10 +195,11 @@ def _fwd_kv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # l >= 1 for every row: col 0 is always unmasked, and padded-q rows
         # score 0 on real cols (zero-padded q) so their max-shifted p is 1.
         o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
-        lse_ref[...] = m_scr[:, :1] + jnp.log(l_scr[:, :1])
+        # broadcast across the 128-lane dim (m/l scratch already are)
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
 
 
-def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                   dq_ref, acc_scr, *,
                   scale: float, t_real: int, rate: float, blk: int,
                   nkv: int):
@@ -204,7 +211,8 @@ def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = _score_block(q, k, scale, t_real, col0=jk * blk)
-    a = jnp.exp(s - lse_ref[...])          # exact probs via the saved LSE
+    lse = lse_ref[0][:, :1]                # lanes identical; take one
+    a = jnp.exp(s - lse)                   # exact probs via the saved LSE
     mm = lambda x, y, dims: jax.lax.dot_general(
         x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
     dA = mm(do, v, ((1,), (1,)))                        # (BQ, BK) f32
@@ -213,9 +221,11 @@ def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                              pl.program_id(1) * blk, jk * blk)
         dA = jnp.where(keep, dA * (1.0 / (1.0 - rate)), 0.0)
     # rowsum over ALL cols of (dA*a) equals delta = rowsum(dO*O) (see module
-    # docstring derivation in the full-row backward), so the softmax backward
-    # is exact per kv block given the per-row delta input:
-    ds = (a * (dA - dl_ref[...])) * scale
+    # docstring derivation in the full-row backward) — recomputed here from
+    # the resident dO/O blocks; dk zero-pad lanes contribute exact zeros.
+    delta = jnp.sum(do_ref[0].astype(jnp.float32) *
+                    o_ref[0].astype(jnp.float32), axis=-1, keepdims=True)
+    ds = (a * (dA - delta)) * scale
     acc_scr[...] += mm(ds.astype(q.dtype), k, ((1,), (0,)))
 
     @pl.when(jk == nkv - 1)
@@ -223,7 +233,7 @@ def _dq_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
 
 
-def _dkv_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+def _dkv_kv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                    dk_ref, dv_ref, *,
                    scale: float, t_real: int, rate: float, blk: int):
     jk, jq = pl.program_id(1), pl.program_id(2)
@@ -235,7 +245,7 @@ def _dkv_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = _score_block(q, k, scale, t_real, col0=jk * blk)
-    a = jnp.exp(s - lse_ref[...])
+    a = jnp.exp(s - lse_ref[0][:, :1])
     mm = lambda x, y, dims: jax.lax.dot_general(
         x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
     inv = 1.0 / (1.0 - rate)
@@ -248,7 +258,9 @@ def _dkv_kv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
     else:
         ad = a
     dv_ref[0] += mm(ad.astype(do.dtype), do, ((0,), (0,)))
-    ds = (a * (dA - dl_ref[...])) * scale
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)   # = rowsum(dO*O) for this q blk
+    ds = (a * (dA - delta)) * scale
     dk_ref[0] += mm(ds.astype(q.dtype), q, ((0,), (0,)))
 
 
@@ -258,7 +270,8 @@ def _kv_specs(blk, dkp):
                       memory_space=pltpu.VMEM)
     ks = pl.BlockSpec((1, blk, dkp), lambda i, jq, jk: (i, jk, 0),
                       memory_space=pltpu.VMEM)
-    rows = pl.BlockSpec((blk, 1), lambda i, jq, jk: (jq, i),
+    # (1, blk, 128) broadcast-lane LSE block: Mosaic-legal (see header note)
+    rows = pl.BlockSpec((1, blk, 128), lambda i, jq, jk: (i, jq, 0),
                         memory_space=pltpu.VMEM)
     return seed_spec, qs, ks, rows
 
@@ -274,7 +287,7 @@ def _attn_fwd_blocked_impl(q, k, v, seed, scale, rate, interpret, blk):
         functools.partial(_fwd_kv_kernel, scale=scale, t_real=t, rate=rate,
                           blk=blk, nkv=n),
         out_shape=(jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
-                   jax.ShapeDtypeStruct((t_pad, bh), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, t_pad, 128), jnp.float32)),
         grid=(bh, n, n),
         in_specs=[seed_spec, qs, ks, ks],
         out_specs=(qs, rows),
@@ -299,11 +312,7 @@ def _attn_bwd_blocked_impl(q, k, v, seed, o, lse, g, scale, rate, interpret,
     n = t_pad // blk
     dkp = 128 if dk < 128 else dk
     qp, kp, vp, gp = (_pad_t(z, t_pad, dkp) for z in (q, k, v, g))
-    # delta_i = sum_d dO_id * O_id == rowsum(dA * a) (the full-row kernel's
-    # in-block reduction) — per-row, so XLA computes it once up front.
-    delta = jnp.pad(
-        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1),
-        ((0, 0), (0, t_pad - t))).T                       # (T_pad, BH)
+    op = _pad_t(o, t_pad, dkp)   # delta = rowsum(dO*O) recomputed in-kernel
     seed_spec, qs, ks, rows = _kv_specs(blk, dkp)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     common = dict(
@@ -315,7 +324,7 @@ def _attn_bwd_blocked_impl(q, k, v, seed, o, lse, g, scale, rate, interpret,
                           blk=blk, nkv=n),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, dkp), q.dtype),
         grid=(bh, n, n),
-        in_specs=[seed_spec, qs, ks, ks, qs, rows, rows],
+        in_specs=[seed_spec, qs, ks, ks, qs, qs, rows],
         out_specs=qs,
         scratch_shapes=[pltpu.VMEM((blk, dkp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -323,29 +332,28 @@ def _attn_bwd_blocked_impl(q, k, v, seed, o, lse, g, scale, rate, interpret,
             bytes_accessed=4 * 4 * bh * t_pad * dkp * n,
             transcendentals=bh * t_pad * t_pad),
         **common,
-    )(seed_arr, qp, kp, vp, gp, lse, delta)
+    )(seed_arr, qp, kp, vp, op, gp, lse)
     # second launch: kv blocks outer, q blocks inner — dK/dV accumulate in
     # their (grid-)j-constant output blocks exactly like the full-row bwd.
     dq_idx = lambda i, jk, jq: (i, jq, 0)
     dk_idx = lambda i, jk, jq: (i, jk, 0)
-    row_idx = lambda i, jk, jq: (jq, i)
     qs2 = pl.BlockSpec((1, blk, dkp), dq_idx, memory_space=pltpu.VMEM)
     ks2 = pl.BlockSpec((1, blk, dkp), dk_idx, memory_space=pltpu.VMEM)
-    rows2 = pl.BlockSpec((blk, 1), row_idx, memory_space=pltpu.VMEM)
+    rows2 = pl.BlockSpec((1, blk, 128), dq_idx, memory_space=pltpu.VMEM)
     f32 = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     dkk, dv = pl.pallas_call(
         functools.partial(_dkv_kv_kernel, scale=scale, t_real=t, rate=rate,
                           blk=blk),
         out_shape=(f32((bh, t_pad, dkp)), f32((bh, t_pad, dkp))),
         grid=(bh, n, n),
-        in_specs=[seed_spec, qs2, ks2, ks2, qs2, rows2, rows2],
+        in_specs=[seed_spec, qs2, ks2, ks2, qs2, qs2, rows2],
         out_specs=(ks2, ks2),
         cost_estimate=pl.CostEstimate(
             flops=8 * bh * t_pad * t_pad * dkp,
             bytes_accessed=4 * 4 * bh * t_pad * dkp * n,
             transcendentals=bh * t_pad * t_pad),
         **common,
-    )(seed_arr, qp, kp, vp, gp, lse, delta)
+    )(seed_arr, qp, kp, vp, op, gp, lse)
     return (dq[:, :t, :dk], dkk[:, :t, :dk].astype(k.dtype),
             dv[:, :t, :dk].astype(v.dtype))
 
@@ -486,21 +494,20 @@ def _attn_fwd_blocked_cp(scale: float, rate: float, interpret: bool,
         qs = arg_shapes[0].sharding.spec
         b = qs[0] if len(qs) else None
         row = NamedSharding(mesh, P(b, None, None))
-        return (mesh, impl,
-                (row, NamedSharding(mesh, P(None, b))),
+        return (mesh, impl, (row, row),
                 (row, row, row, NamedSharding(mesh, P(None))))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec
         b = qs[0] if len(qs) else None
-        return (NamedSharding(mesh, P(b, None, None)),
-                NamedSharding(mesh, P(None, b)))   # lse is (T_pad, BH)
+        s = NamedSharding(mesh, P(b, None, None))
+        return (s, s)   # lse is (BH, T_pad, 128): shards with the rows
 
     f.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="B T D, B T D, B T D, z -> B T D, P B",
-        need_replication_factors=("T", "D", "z", "P"),
+        sharding_rule="B T D, B T D, B T D, z -> B T D, B P L",
+        need_replication_factors=("T", "D", "z", "P", "L"),
     )
     return f
 
@@ -523,7 +530,7 @@ def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
         row = NamedSharding(mesh, P(b, None, None))
         return (mesh, impl, (row, row, row),
                 (row, row, row, NamedSharding(mesh, P(None)), row,
-                 NamedSharding(mesh, P(None, b)), row))
+                 row, row))
 
     def infer(mesh, arg_shapes, shape):
         qs = arg_shapes[0].sharding.spec
@@ -533,9 +540,9 @@ def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
     f.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule=("B T D, B T D, B T D, z, B T D, P B, B T D"
+        sharding_rule=("B T D, B T D, B T D, z, B T D, B P L, B T D"
                        " -> B T D, B T D, B T D"),
-        need_replication_factors=("T", "D", "z", "P"),
+        need_replication_factors=("T", "D", "z", "P", "L"),
     )
     return f
 
