@@ -152,7 +152,109 @@ def cert_autoformer():
     print(f"[autoformer] on-chip InterpGN+Autoformer step OK, loss {lv:.4f}")
 
 
+def cert_quant():
+    """int8 weight-only quantized serving vs f32, flagship-ish shape:
+    predict latency (batch 64, bucket-warm), device weight bytes, and
+    class agreement. NEXT_STEPS 'quantized-serving HBM numbers'."""
+    import tempfile
+
+    import jax
+    from sie_tpu.config import Config
+    from sie_tpu.models.registry import build_model
+    from sie_tpu.serve import Predictor
+
+    cfg = Config(model="InterpGN", dnn_type="Transformer", data="EEG3",
+                 seq_len=845, enc_in=122, num_class=3, d_model=512,
+                 d_ff=2048, n_heads=8, e_layers=2, num_shapelet=10,
+                 dropout=0.0, amp=True, use_pallas=True, seed=0)
+    rng = np.random.default_rng(0)
+    model = build_model(cfg)
+    x0 = np.zeros((2, cfg.seq_len, cfg.enc_in), np.float32)
+    variables = model.init(jax.random.key(0), x0, np.ones((2, cfg.seq_len),
+                                                          np.float32))
+    variables = jax.device_get(variables)
+
+    x = rng.normal(size=(64, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+
+    def dev_bytes(p):
+        return sum(a.nbytes for a in jax.tree.leaves(p.variables))
+
+    with tempfile.TemporaryDirectory() as d:
+        base = Predictor(cfg, variables)
+        base.save_bundle(d + "/f32")
+        base.save_bundle(d + "/q", quantize=True)
+        pf = Predictor.load_bundle(d + "/f32")
+        pq = Predictor.load_bundle(d + "/q")
+        import os as _os
+        sz = lambda p: sum(_os.path.getsize(_os.path.join(p, f))
+                           for f in _os.listdir(p))
+        print(f"[quant] bundle bytes: f32 {sz(d + '/f32'):,} -> "
+              f"int8 {sz(d + '/q'):,}")
+        print(f"[quant] device weight bytes: f32 {dev_bytes(pf):,} -> "
+              f"int8 {dev_bytes(pq):,}")
+        rf = pf.predict(x)
+        rq = pq.predict(x)
+        agree = float(np.mean(rf.classes == rq.classes))
+        pdiff = float(np.abs(rf.probs - rq.probs).max())
+        print(f"[quant] class agreement {agree:.3f}, prob maxdiff {pdiff:.4f}")
+        tf = _time(lambda: pf.predict(x).logits, iters=10)
+        tq = _time(lambda: pq.predict(x).logits, iters=10)
+        print(f"[quant] predict(64): f32 {tf * 1e3:.1f} ms, "
+              f"int8 {tq * 1e3:.1f} ms")
+    print("[quant] QUANTIZED SERVING CERTIFIED")
+
+
+def cert_ensemble():
+    """Vectorized 5-seed training vs 1 seed on the flagship config: the
+    vmapped program should train 5 seeds for far less than 5x single-seed
+    wall time (weight-stationary reuse across the seed axis; the claim in
+    train/ensemble.py, previously CPU-verified only)."""
+    import jax
+    from sie_tpu.config import Config
+    from sie_tpu.train.ensemble import EnsembleTrainer
+
+    rng = np.random.default_rng(0)
+    cfg = Config(model="InterpGN", dnn_type="Transformer", data="EEG3",
+                 seq_len=845, enc_in=122, num_class=3, d_model=512,
+                 d_ff=2048, n_heads=8, e_layers=2, num_shapelet=10,
+                 batch_size=64, dropout=0.1, amp=True, use_pallas=True,
+                 seed=0)
+    batch = (rng.normal(size=(64, 845, 122)).astype(np.float32),
+             rng.integers(0, 3, 64).astype(np.int32),
+             np.ones((64, 845), np.float32),
+             np.ones((64,), np.float32))
+    results = {}
+    for seeds in ((0,), (0, 42, 1234, 8237, 2023)):
+        tr = EnsembleTrainer(cfg, steps_per_epoch=1, seeds=seeds)
+        st = tr.init_states(batch)
+        stacked = tuple(np.broadcast_to(b, (len(seeds),) + b.shape)
+                        for b in batch)
+
+        def step(st):
+            st, loss, _ = tr.train_step(st, stacked, beta=1.0)
+            return st, loss
+
+        st, loss = step(st)
+        _ = float(jax.device_get(jnp_sum(loss)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            st, loss = step(st)
+        _ = float(jax.device_get(jnp_sum(loss)))
+        dt = (time.perf_counter() - t0) / 10
+        results[len(seeds)] = dt
+        print(f"[ensemble] {len(seeds)} seed(s): {dt * 1e3:.1f} ms/step "
+              f"({len(seeds) * 64 / dt:.0f} samples/s)")
+    print(f"[ensemble] 5-seed cost vs 5x single: "
+          f"{results[5] / (5 * results[1]) * 100:.0f}%")
+
+
+def jnp_sum(x):
+    import jax.numpy as jnp
+    return jnp.sum(x)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "blocked"
     {"blocked": cert_blocked, "moe": cert_moe,
-     "autoformer": cert_autoformer}[mode]()
+     "autoformer": cert_autoformer, "quant": cert_quant,
+     "ensemble": cert_ensemble}[mode]()

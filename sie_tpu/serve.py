@@ -183,6 +183,11 @@ class Predictor:
             variables = jax.tree.map(
                 lambda a: jax.device_put(a, NamedSharding(mesh, P())),
                 variables)
+        else:
+            # upload once at construction: bundles restore host numpy arrays,
+            # and jit re-transfers host args on EVERY call (~2 ms/buffer
+            # through the axon relay x O(100) tensors per request otherwise)
+            variables = jax.tree.map(jnp.asarray, variables)
         self.variables = variables
         self._compiled: Dict[tuple, Any] = {}
 

@@ -57,3 +57,31 @@ def test_fused_kernel_compiled_matches_interpret(rng):
         for a, b in zip(gc, gi):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=2e-2)
+
+
+def test_blocked_kernel_compiled_matches_interpret(rng):
+    """Compiled kv-blocked variant == interpret reference on-chip. Regression
+    for the (blk, 1) LSE-block Mosaic rejection caught by the r3 on-chip cert
+    (fixed with the (BH, T_pad, 128) broadcast-lane LSE layout + in-kernel
+    delta recompute). block_kv=256 forces the blocked path at a small T so
+    the test compiles in seconds, with T not a block multiple (padding)."""
+    from sie_tpu.ops.pallas.attention_pallas import fused_attention
+
+    bh, t, dk = 4, 300, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, t, dk)), jnp.float32)
+               for _ in range(3))
+    seed = jnp.array([7], jnp.int32)
+    for rate in (0.0, 0.2):
+        out_c = fused_attention(q, k, v, seed, 0.125, rate, interpret=False,
+                                block_kv=256)
+        out_i = fused_attention(q, k, v, seed, 0.125, rate, interpret=True,
+                                block_kv=256)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_i),
+                                   atol=5e-4, rtol=1e-2)
+        loss = lambda interp: (lambda q, k, v: jnp.sum(fused_attention(
+            q, k, v, seed, 0.125, rate, interp, block_kv=256) ** 2))
+        gc = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+        gi = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gc, gi):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-2)
