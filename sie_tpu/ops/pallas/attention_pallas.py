@@ -444,7 +444,8 @@ def _attn_fwd_cp(scale: float, rate: float, interpret: bool):
         sharding_rule="B T D, B T D, B T D, z -> B T D",
         need_replication_factors=("T", "D", "z"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 @functools.lru_cache(maxsize=None)
@@ -475,7 +476,8 @@ def _attn_bwd_cp(scale: float, rate: float, interpret: bool):
         sharding_rule="B T D, B T D, B T D, z, B T D -> B T D, B T D, B T D",
         need_replication_factors=("T", "D", "z"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 @functools.lru_cache(maxsize=None)
@@ -509,7 +511,8 @@ def _attn_fwd_blocked_cp(scale: float, rate: float, interpret: bool,
         sharding_rule="B T D, B T D, B T D, z -> B T D, B P L",
         need_replication_factors=("T", "D", "z", "P", "L"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 @functools.lru_cache(maxsize=None)
@@ -544,7 +547,8 @@ def _attn_bwd_blocked_cp(scale: float, rate: float, interpret: bool,
                        " -> B T D, B T D, B T D"),
         need_replication_factors=("T", "D", "z", "P", "L"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 def _blocked(t: int, block_kv) -> bool:

@@ -271,7 +271,8 @@ def _fwd_cp(stride: int, interpret: bool):
         sharding_rule="B C T, n C L -> B n C W",
         need_replication_factors=("C", "T", "L", "W"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 @functools.lru_cache(maxsize=None)
@@ -317,7 +318,8 @@ def _bwd_cp(stride: int, interpret: bool):
         reduction_factors=("B",),
         need_replication_factors=("C", "T", "L", "W"),
     )
-    return f
+    from sie_tpu.ops.pallas.seq_vmap import sequential_vmap
+    return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
