@@ -109,9 +109,13 @@ def cert_moe():
                  np.ones((64,), np.float32))
         tr = Trainer(cfg, steps_per_epoch=1)
         st = tr.init_state(batch, seed=0)
+        # stage the batch in HBM once — the per-step 26 MB host upload
+        # otherwise dominates both sides of the dense/MoE comparison
+        import jax.numpy as jnp
+        batch_dev = tuple(jnp.asarray(b) for b in batch)
 
         def step(st):
-            st, loss, _ = tr.train_step(st, batch, beta=0.0)
+            st, loss, _ = tr.train_step(st, batch_dev, beta=0.0)
             return st, loss
 
         st, loss = step(st)
@@ -227,8 +231,15 @@ def cert_ensemble():
     for seeds in ((0,), (0, 42, 1234, 8237, 2023)):
         tr = EnsembleTrainer(cfg, steps_per_epoch=1, seeds=seeds)
         st = tr.init_states(batch)
-        stacked = tuple(np.broadcast_to(b, (len(seeds),) + b.shape)
+        # stage the stacked batch in HBM ONCE: a per-step host re-upload
+        # (26 MB/seed through the ~30 MB/s relay) would swamp the compute
+        # being compared (first run measured 1350 ms/step at 1 seed vs the
+        # 136 ms staged flagship step)
+        import jax.numpy as jnp
+        stacked = tuple(jnp.asarray(np.broadcast_to(b, (len(seeds),)
+                                                    + b.shape))
                         for b in batch)
+        jax.block_until_ready(stacked)
 
         def step(st):
             st, loss, _ = tr.train_step(st, stacked, beta=1.0)
