@@ -29,8 +29,64 @@ SEQ_LEN, ENC_IN, NUM_CLASS, BATCH = 845, 122, 3, 64
 WARMUP, ITERS = 3, 20
 
 
-def bench_ours() -> float:
-    """Returns training samples/sec for the jitted InterpGN step."""
+def bench_decomposition(trainer, state, ds, iters: int = 10) -> dict:
+    """Per-phase step decomposition (VERDICT r3 item 9): separately-compiled
+    fwd+bwd programs for the full model, the SBM branch only (grad of the
+    shapelet CE + reg — the kernel-dominated phase), and the DNN branch only
+    (grad of the deep-expert CE), each timed with the chained-fetch protocol.
+    optimizer_ms is derived as full_step - full_fwdbwd."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    x0 = jnp.asarray(ds.x[:BATCH])
+    y = jnp.asarray(ds.y[:BATCH])
+    mask = jnp.asarray(ds.padding_mask[:BATCH])
+    rng = jax.random.key(0)
+    apply_fn = trainer.model.apply
+
+    def make_run(which):
+        def loss_fn(params, x):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (logits, info), _ = apply_fn(
+                variables, x, mask, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats", "losses"])
+            out = {"sbm": info.shapelet_preds, "dnn": info.dnn_preds,
+                   "full": logits}[which]
+            ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+            if which in ("sbm", "full") and info.loss is not None:
+                ce = ce + jnp.mean(info.loss)
+            return ce
+
+        @jax.jit
+        def run(x):
+            val, _grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                state.params, x)
+            return x + 1e-20 * val          # serializes the chain
+
+        return run
+
+    out = {}
+    for which, key in (("full", "fwdbwd_ms"), ("sbm", "sbm_fwdbwd_ms"),
+                       ("dnn", "dnn_fwdbwd_ms")):
+        run = make_run(which)
+        x = run(x0)                          # compile + warm
+        float(jax.device_get(x[0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = run(x)
+        float(jax.device_get(x[0, 0, 0]))
+        out[key] = round(1e3 * (time.perf_counter() - t0) / iters, 2)
+        print(f"[bench] decompose {which}: {out[key]} ms", file=sys.stderr)
+    return out
+
+
+def bench_ours(collect=None) -> float:
+    """Returns training samples/sec for the jitted InterpGN step.
+    `collect`, if a dict, receives the trainer/state/dataset for the
+    decomposition pass."""
     import jax
     from sie_tpu.config import Config
     from sie_tpu.train.trainer import Trainer
@@ -80,6 +136,8 @@ def bench_ours() -> float:
     print(f"[bench] ours: {dt * 1e3:.1f} ms/step (batch {BATCH}, median of "
           f"{[round(r * 1e3, 1) for r in reps]}) on {jax.default_backend()}",
           file=sys.stderr)
+    if collect is not None:
+        collect.update(trainer=trainer, state=state, ds=ds)
     return BATCH / dt
 
 
@@ -205,7 +263,8 @@ def main():
               "refusing to start; rerun when the TPU relay is back",
               file=sys.stderr)
         sys.exit(1)
-    ours = bench_ours()
+    collected = {}
+    ours = bench_ours(collect=collected)
     baseline = get_baseline()
     extra = {
         # the primary numbers are the ABSOLUTES on this chip (VERDICT r2
@@ -215,23 +274,39 @@ def main():
         "step_ms": round(1000.0 * BATCH / ours, 2),
         "batch": BATCH,
         "baseline_kind": "torch-CPU reference-faithful IGN step, batch 4",
-        # per-phase decomposition: run `scripts/bench_kernel.py {fwd,fwdbwd,
-        # dnn_step,step,banks}` (one mode per process); measured history and
-        # roofline derivations live in docs/BENCH_NOTES.md — not duplicated
-        # here so this per-run artifact never reports stale constants.
     }
+    # per-phase step decomposition, measured in THIS run so the artifact is
+    # self-describing (VERDICT r3 item 9); skippable for relay triage
+    decompose = {}
+    if os.environ.get("SIE_BENCH_DECOMPOSE", "1") != "0":
+        try:
+            decompose = bench_decomposition(**collected)
+            decompose["optimizer_ms"] = round(
+                max(1000.0 * BATCH / ours - decompose["fwdbwd_ms"], 0.0), 2)
+            extra.update(decompose)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] decomposition failed: {e}", file=sys.stderr)
     try:
         extra["eegcnn_train_samples_per_sec"] = round(bench_eegcnn(), 2)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] eegcnn secondary failed: {e}", file=sys.stderr)
     with open(os.path.join(REPO, "bench_extra.json"), "w") as f:
         json.dump(extra, f, indent=1)
-    print(json.dumps({
+    line = {
         "metric": "ign_train_samples_per_sec",
         "value": round(ours, 2),
         "unit": "samples/sec",
+        # the ratio is vs a torch-CPU batch-4 run of the reference algorithm
+        # on this host — NOT a reference-GPU comparison; qualifier embedded
+        # so downstream parsers inherit the context with the number
         "vs_baseline": round(ours / baseline, 2),
-    }))
+        "baseline_kind": "torch-CPU reference-faithful IGN step, batch 4",
+        "step_ms": round(1000.0 * BATCH / ours, 2),
+        "batch": BATCH,
+    }
+    if decompose:
+        line["step_decomposition_ms"] = decompose
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -20,9 +20,15 @@ import jax  # noqa: E402
 # which hangs every jax op when the relay is down — pin cpu before any use.
 jax.config.update("jax_platforms", "cpu")
 
-from sie_tpu.parity.harness import run_parity  # noqa: E402
+from sie_tpu.parity.harness import run_parity, run_regression_parity  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# compact-but-converging shapes for the heavy backbones (the A/B compares
+# frameworks on identical configs, so absolute capacity only needs to be
+# enough to learn the synthetic sets)
+_TIMESNET = dict(d_model=32, d_ff=32, top_k=2, num_kernels=3, e_layers=1)
+_PATCHTST = dict(d_model=32, d_ff=64, e_layers=2)
 
 CONFIGS = [
     dict(model="SBM", dnn_type="FCN", kind="uea",
@@ -54,6 +60,34 @@ CONFIGS = [
     dict(model="InterpGN", dnn_type="FCN", kind="eeg3", noise=3.0,
          overrides=dict(num_shapelet=4, patience=999,
                         beta_schedule="cosine"), seeds=(0, 1, 2, 3, 4)),
+    # ---- round-4 matrix extension (VERDICT r3 item 1) -------------------
+    # every remaining --dnn_type as a standalone DNN ...
+    dict(model="DNN", dnn_type="ResNet", kind="uea", overrides={}),
+    dict(model="DNN", dnn_type="TimesNet", kind="uea",
+         overrides=dict(_TIMESNET)),
+    dict(model="DNN", dnn_type="PatchTST", kind="uea",
+         overrides=dict(_PATCHTST)),
+    # ... and as the deep expert inside InterpGN
+    dict(model="InterpGN", dnn_type="ResNet", kind="eeg3",
+         overrides=dict(num_shapelet=4, beta_schedule="cosine")),
+    dict(model="InterpGN", dnn_type="TimesNet", kind="eeg3",
+         overrides=dict(num_shapelet=4, beta_schedule="cosine", **_TIMESNET)),
+    dict(model="InterpGN", dnn_type="PatchTST", kind="eeg3",
+         overrides=dict(num_shapelet=4, beta_schedule="cosine", **_PATCHTST)),
+    # the bilinear / attention SBM classifier heads (Shapelet.py:199-205)
+    dict(model="SBM", dnn_type="FCN", kind="uea",
+         overrides=dict(num_shapelet=4, sbm_cls="bilinear")),
+    dict(model="SBM", dnn_type="FCN", kind="uea",
+         overrides=dict(num_shapelet=4, sbm_cls="attention")),
+]
+
+# CRPS regression training A/B (exp/experiment_regression.py:59-207);
+# accuracy columns report argmax-bin hit rate, crps columns the test loss
+REGRESSION_CONFIGS = [
+    dict(model="SBM", dnn_type="FCN", overrides=dict(num_shapelet=4)),
+    dict(model="DNN", dnn_type="FCN", overrides={}),
+    dict(model="InterpGN", dnn_type="FCN",
+         overrides=dict(num_shapelet=4, beta_schedule="cosine")),
 ]
 
 
@@ -70,6 +104,16 @@ def main():
         r = run_parity(**kw)
         print(f"   torch {r['torch_mean']:.2f}% vs sie_tpu "
               f"{r['sie_tpu_mean']:.2f}% (delta {r['delta_pts']:+.2f} pts)",
+              flush=True)
+        rows.append(r)
+    for cfgkw in REGRESSION_CONFIGS:
+        print(f"== REG {cfgkw['model']}+{cfgkw['dnn_type']} ==", flush=True)
+        kw = dict(seeds=seeds, epochs=epochs, batch_size=16, verbose=True)
+        kw.update(cfgkw)
+        r = run_regression_parity(**kw)
+        print(f"   torch crps {r['torch_crps']:.4f} / bin-acc "
+              f"{r['torch_mean']:.2f}% vs sie_tpu crps "
+              f"{r['sie_tpu_crps']:.4f} / bin-acc {r['sie_tpu_mean']:.2f}%",
               flush=True)
         rows.append(r)
 
@@ -89,11 +133,22 @@ def main():
         "Weight inits necessarily differ (different PRNGs), so the comparison",
         "is converged accuracy, not loss curves.",
         "",
+        "For `regression` rows the accuracies are argmax-bin hit rates and",
+        "the torch/sie_tpu test-CRPS means are appended in the config cell;",
+        "`[bilinear]`/`[attention]` mark the SBM classifier head",
+        "(Shapelet.py:199-205).",
+        "",
         "| config | data | noise | seeds | torch acc % | sie_tpu acc % | delta (pts) |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        lines.append(f"| {r['model']}+{r['dnn_type']} | {r['kind']} | "
+        name = f"{r['model']}+{r['dnn_type']}"
+        if r.get("sbm_cls"):
+            name += f" [{r['sbm_cls']}]"
+        if "torch_crps" in r:
+            name += (f" (crps {r['torch_crps']:.3f} vs "
+                     f"{r['sie_tpu_crps']:.3f})")
+        lines.append(f"| {name} | {r['kind']} | "
                      f"{r['noise']} | {len(r['seeds'])} | "
                      f"{r['torch_mean']:.2f} | {r['sie_tpu_mean']:.2f} | "
                      f"{r['delta_pts']:+.2f} |")

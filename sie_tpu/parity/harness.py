@@ -140,6 +140,177 @@ def train_sie_tpu(cfg: Config, splits, batch_schedule,
             "epoch_stop": epoch_stop}
 
 
+def make_regression_splits(seed: int = 0,
+                           n_per_split: Tuple[int, int] = (192, 64),
+                           noise: float = 0.4, nbins: int = 10):
+    """Learnable synthetic extrinsic-regression data (Monash-shaped): the
+    float target is an affine function of the dominant source amplitude, so a
+    CRPS-trained binned classifier can localize it. Returns
+    ({'train'/'val'/'test': (x, y_float)}, bin_edges) with val == test
+    (reference exp_regression:86-88) and bin edges computed like the
+    Monashloader (linspace over TRAIN targets, nbins values ending at +inf,
+    data_loader.py:798-810)."""
+    c, t = 6, 100
+    rng = np.random.default_rng((seed, 11))
+    mix = rng.normal(0, 1, (3, c))
+    freqs = rng.uniform(0.02, 0.3, 3)
+    tt = np.arange(t)
+
+    def gen(n):
+        amp = rng.uniform(1.0, 9.0, n)
+        x = np.zeros((n, t, c), np.float32)
+        for i in range(n):
+            ph = rng.uniform(0, 2 * np.pi, 3)
+            scale = np.array([amp[i], 1.0, 1.0])
+            src = scale[:, None] * np.sin(
+                2 * np.pi * freqs[:, None] * tt[None] + ph[:, None])
+            x[i] = (mix.T @ src).T + rng.normal(0, noise, (t, c))
+        return x.astype(np.float32), amp.astype(np.float32)
+
+    xtr, ytr = gen(n_per_split[0])
+    xte, yte = gen(n_per_split[1])
+    mu = xtr.mean(axis=(0, 1), keepdims=True)
+    sd = xtr.std(axis=(0, 1), keepdims=True) + 1e-8
+    xtr, xte = (xtr - mu) / sd, (xte - mu) / sd
+    edges = np.linspace(ytr.min(), ytr.max(), nbins + 1)
+    edges[-1] = np.inf
+    bin_edges = edges[1:].astype(np.float32)
+    splits = {"train": (xtr, ytr), "val": (xte, yte), "test": (xte, yte)}
+    return splits, bin_edges
+
+
+def train_sie_tpu_regression(cfg: Config, splits, bin_edges,
+                             batch_schedule, verbose: bool = False):
+    """sie_tpu regression training under the reference's epoch semantics
+    (RegressionExperiment.train): CRPS head with truncate_targets=True to
+    match the reference's `label.long()` quirk, early stop on val loss,
+    best-state restore, val == test."""
+    import jax
+    import jax.numpy as jnp
+    from sie_tpu.train.regression import make_crps_head
+    from sie_tpu.train.trainer import Trainer, compute_beta
+
+    xtr, ytr = splits["train"]
+    head = make_crps_head(bin_edges, truncate_targets=True)
+    trainer = Trainer(cfg, steps_per_epoch=len(batch_schedule[0]),
+                      loss_head=head)
+    mk = lambda idx: (xtr[idx], ytr[idx].astype(np.float32),
+                      np.ones((len(idx), xtr.shape[1]), np.float32),
+                      np.ones((len(idx),), np.float32))
+    state = trainer.init_state(mk(batch_schedule[0][0]), seed=cfg.seed)
+
+    def evaluate(state, x, y):
+        losses = []
+        b = cfg.batch_size
+        for i in range(0, len(x), b):
+            xb, yb = x[i:i + b], y[i:i + b]
+            batch = (xb, yb.astype(np.float32),
+                     np.ones((len(xb), xb.shape[1]), np.float32),
+                     np.ones((len(xb),), np.float32))
+            logits, info = trainer.eval_step(state, batch)
+            loss = float(jax.device_get(
+                head(logits, jnp.asarray(batch[1]), jnp.asarray(batch[3]))))
+            if info.loss is not None:
+                loss += float(jax.device_get(info.loss).mean())
+            losses.append(loss)
+        return float(np.mean(losses))
+
+    best_loss, best_state_h, patience_left = float("inf"), None, cfg.patience
+    epoch_stop = 0
+    for epoch in range(cfg.train_epochs):
+        beta = compute_beta(epoch, cfg.train_epochs, cfg.beta_schedule)
+        for idx in batch_schedule[epoch % len(batch_schedule)]:
+            state, _loss, _ = trainer.train_step(state, mk(idx), beta)
+        val_loss = evaluate(state, *splits["val"])
+        if verbose and (epoch + 1) % cfg.log_interval == 0:
+            print(f"[sie_tpu] epoch {epoch + 1} val_crps {val_loss:.4f}")
+        if epoch >= cfg.min_epochs:
+            if val_loss < best_loss:
+                best_loss = val_loss
+                best_state_h = (jax.device_get(state.params),
+                                jax.device_get(state.batch_stats))
+                patience_left = cfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    epoch_stop = epoch
+                    break
+        epoch_stop = epoch
+    if best_state_h is not None:
+        state = state.replace(params=jax.device_put(best_state_h[0]),
+                              batch_stats=jax.device_put(best_state_h[1]))
+    test_loss = evaluate(state, *splits["test"])
+
+    # same secondary bin-accuracy metric as the torch side
+    edges = np.asarray(bin_edges, np.float32)
+    hits, n = 0, 0
+    x, y = splits["test"]
+    for i in range(0, len(x), cfg.batch_size):
+        xb, yb = x[i:i + cfg.batch_size], y[i:i + cfg.batch_size]
+        batch = (xb, yb.astype(np.float32),
+                 np.ones((len(xb), xb.shape[1]), np.float32),
+                 np.ones((len(xb),), np.float32))
+        logits, _ = trainer.eval_step(state, batch)
+        pred_bin = np.asarray(jax.device_get(logits)).argmax(-1)
+        true_bin = np.searchsorted(edges[:-1],
+                                   yb.astype(np.int64).astype(np.float32),
+                                   side="left")
+        hits += int((pred_bin == true_bin).sum())
+        n += len(pred_bin)
+    return {"test_loss": test_loss, "val_loss": best_loss,
+            "bin_accuracy": 100.0 * hits / max(n, 1),
+            "epoch_stop": epoch_stop}
+
+
+def run_regression_parity(model: str, dnn_type: str = "FCN",
+                          seeds=(0, 1, 2), epochs: int = 40,
+                          batch_size: int = 16,
+                          overrides: Optional[dict] = None,
+                          noise: float = 0.4, verbose: bool = False) -> Dict:
+    """CRPS-training A/B on identical synthetic regression data (VERDICT r3
+    item 1, matching exp/experiment_regression.py:59-207)."""
+    splits, bin_edges = make_regression_splits(seed=0, noise=noise)
+    t, c = splits["train"][0].shape[1:]
+    results = {"torch": [], "sie_tpu": []}
+    for seed in seeds:
+        kw = dict(data="Monash", dataset="parity-reg", model=model,
+                  dnn_type=dnn_type, seq_len=t, enc_in=c,
+                  num_class=len(bin_edges), num_shapelet=4,
+                  batch_size=batch_size, train_epochs=epochs,
+                  patience=max(8, epochs // 4), lr=5e-3, amp=False,
+                  dropout=0.0, d_model=64, d_ff=128, n_heads=4, e_layers=2,
+                  use_pallas=False, seed=seed, log_interval=1000,
+                  task_name="regression")
+        kw.update(overrides or {})
+        cfg = Config(**kw)
+        sched = make_batch_schedule(len(splits["train"][0]), cfg.batch_size,
+                                    cfg.train_epochs, seed)
+        from sie_tpu.parity.torch_reference import train_torch_regression
+        rt = train_torch_regression(cfg, splits, bin_edges, sched,
+                                    verbose=verbose)
+        rj = train_sie_tpu_regression(cfg, splits, bin_edges, sched,
+                                      verbose=verbose)
+        results["torch"].append(rt)
+        results["sie_tpu"].append(rj)
+        if verbose:
+            print(f"[seed {seed}] torch crps {rt['test_loss']:.4f} "
+                  f"acc {rt['bin_accuracy']:.1f}% | sie_tpu crps "
+                  f"{rj['test_loss']:.4f} acc {rj['bin_accuracy']:.1f}%")
+    crps_t = [r["test_loss"] for r in results["torch"]]
+    crps_j = [r["test_loss"] for r in results["sie_tpu"]]
+    acc_t = [r["bin_accuracy"] for r in results["torch"]]
+    acc_j = [r["bin_accuracy"] for r in results["sie_tpu"]]
+    return {"model": model, "dnn_type": dnn_type, "kind": "regression",
+            "noise": noise, "seeds": list(seeds),
+            "torch_acc": acc_t, "sie_tpu_acc": acc_j,
+            "torch_mean": float(np.mean(acc_t)),
+            "sie_tpu_mean": float(np.mean(acc_j)),
+            "delta_pts": float(np.mean(acc_j) - np.mean(acc_t)),
+            "torch_crps": float(np.mean(crps_t)),
+            "sie_tpu_crps": float(np.mean(crps_j)),
+            "per_seed": results}
+
+
 def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
                seeds=(0, 1, 2), epochs: int = 40, batch_size: int = 16,
                overrides: Optional[dict] = None, noise: float = 0.4,
@@ -171,8 +342,10 @@ def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
                   f"sie_tpu {rj['test_accuracy']:.2f}%")
     acc_t = [r["test_accuracy"] for r in results["torch"]]
     acc_j = [r["test_accuracy"] for r in results["sie_tpu"]]
+    head = (overrides or {}).get("sbm_cls")
     return {"model": model, "dnn_type": dnn_type, "kind": kind,
             "noise": noise, "seeds": list(seeds),
+            "sbm_cls": None if head in (None, "linear") else head,
             "torch_acc": acc_t, "sie_tpu_acc": acc_j,
             "torch_mean": float(np.mean(acc_t)),
             "sie_tpu_mean": float(np.mean(acc_j)),

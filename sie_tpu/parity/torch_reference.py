@@ -72,7 +72,8 @@ class TorchShapeletBank(nn.Module):
 
 
 class TorchSBM(nn.Module):
-    """(reference Shapelet.py:134-238; linear head only — the parity configs)."""
+    """(reference Shapelet.py:134-238; linear / bilinear / attention heads,
+    Shapelet.py:170-178,199-205)."""
 
     def __init__(self, cfg: Config):
         super().__init__()
@@ -84,6 +85,12 @@ class TorchSBM(nn.Module):
             for i, l in enumerate(_bank_lengths(cfg)))
         total = sum(n * cfg.enc_in for n in nums)
         self.output_layer = nn.Linear(total, cfg.num_class, bias=False)
+        if cfg.sbm_cls == "bilinear":
+            self.output_bilinear = nn.Bilinear(total, total, cfg.num_class,
+                                               bias=False)
+        elif cfg.sbm_cls == "attention":
+            from sie_tpu.parity.torch_backbones import TorchPredicateAttention
+            self.attention = TorchPredicateAttention(total, 16)
         self.dropout = nn.Dropout(cfg.dropout)
         self.pdist = nn.PairwiseDistance(p=2)            # eps=1e-6 default
 
@@ -93,7 +100,13 @@ class TorchSBM(nn.Module):
         ps, ds = zip(*[bank(x) for bank in self.banks])
         p = torch.cat(ps, -1)
         d = torch.cat(ds, -1)
-        out = self.output_layer(self.dropout(p))
+        if self.cfg.sbm_cls == "bilinear":
+            out = self.output_layer(self.dropout(p)) \
+                + self.output_bilinear(self.dropout(p), self.dropout(p))
+        elif self.cfg.sbm_cls == "attention":
+            out = self.output_layer(self.dropout(self.attention(p)))
+        else:
+            out = self.output_layer(self.dropout(p))
         return out, {"d": d, "p": p, "shapelet_preds": out, "preds": out,
                      "loss": self.loss().unsqueeze(0)}
 
@@ -296,8 +309,7 @@ class TorchInterpGN(nn.Module):
     def __init__(self, cfg: Config):
         super().__init__()
         self.sbm = TorchSBM(cfg)
-        self.deep_model = {"FCN": TorchFCN,
-                           "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
+        self.deep_model = _dnn_registry()[cfg.dnn_type](cfg)
 
     def forward(self, x, mask=None, gating_value=None):
         sbm_out, info = self.sbm(x)
@@ -320,6 +332,15 @@ class TorchInterpGN(nn.Module):
         self.sbm.step()
 
 
+def _dnn_registry():
+    """All 5 reference backbones (exp:87-93 dnn_dict)."""
+    from sie_tpu.parity.torch_backbones import (TorchPatchTST, TorchResNet,
+                                                TorchTimesNet)
+    return {"FCN": TorchFCN, "Transformer": TorchTransformer,
+            "ResNet": TorchResNet, "TimesNet": TorchTimesNet,
+            "PatchTST": TorchPatchTST}
+
+
 def build_torch_model(cfg: Config) -> nn.Module:
     if cfg.model == "SBM":
         return TorchSBM(cfg)
@@ -330,7 +351,7 @@ def build_torch_model(cfg: Config) -> nn.Module:
     if cfg.model == "EEGCNN":
         return TorchEEGCNN(cfg)
     if cfg.model == "DNN":
-        return {"FCN": TorchFCN, "Transformer": TorchTransformer}[cfg.dnn_type](cfg)
+        return _dnn_registry()[cfg.dnn_type](cfg)
     raise ValueError(
         f"parity harness covers SBM/LTS/InterpGN/EEGCNN/DNN, not {cfg.model}")
 
@@ -363,6 +384,135 @@ def _eval(model: nn.Module, cfg: Config, x: np.ndarray, y: np.ndarray,
         correct += (logits.argmax(-1) == yb).sum().item()
     model.train()
     return float(torch.cat(losses).mean()), correct / max(len(x), 1)
+
+
+class TorchCRPSLoss(nn.Module):
+    """Binned CRPS (reference exp/experiment_regression.py:59-75): softmax ->
+    CDF over the bins vs the empirical step CDF at the bin edges, summed
+    squared difference, batch-averaged."""
+
+    def __init__(self, bin_edges: np.ndarray):
+        super().__init__()
+        self.register_buffer("bin_edges",
+                             torch.from_numpy(np.asarray(bin_edges,
+                                                         np.float32)))
+
+    def forward(self, pred, target):
+        cdf_pred = torch.cumsum(torch.softmax(pred, dim=1), dim=1)
+        cdf_true = (self.bin_edges.unsqueeze(0)
+                    >= target.unsqueeze(1)).float()
+        return torch.mean(torch.sum((cdf_pred - cdf_true) ** 2, dim=1))
+
+
+def train_torch_regression(cfg: Config, splits, bin_edges: np.ndarray,
+                           batch_schedule: Optional[List[List[np.ndarray]]] = None,
+                           verbose: bool = False) -> Dict[str, float]:
+    """Reference-faithful regression training loop
+    (exp/experiment_regression.py:140-230): CRPS + model loss (+ beta * CRPS
+    of the SBM branch for InterpGN), `label.long()` target truncation
+    (exp:157 — the documented reference quirk, reproduced here because the
+    sie_tpu side runs with truncate_targets=True for this A/B), early stopping
+    on VALIDATION LOSS with best-checkpoint restore, val == test."""
+    torch.manual_seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    model = build_torch_model(cfg)
+    loss_fn = TorchCRPSLoss(bin_edges)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=cfg.train_epochs) if cfg.lr_decay else None
+    xtr, ytr = splits["train"]
+
+    def _loss(xb, yb):
+        # exp:157 casts the float target with .long() before CRPS; the
+        # validation loss has no beta term (exp_regression:210-230)
+        t = yb.long().float()
+        if cfg.model == "DNN":
+            return loss_fn(model(xb, None), t)
+        logits, info = model(xb)
+        return loss_fn(logits, t) + info["loss"].mean()
+
+    @torch.no_grad()
+    def _eval(x, y):
+        model.eval()
+        losses = []
+        for i in range(0, len(x), cfg.batch_size):
+            xb = torch.from_numpy(x[i:i + cfg.batch_size]).float()
+            yb = torch.from_numpy(y[i:i + cfg.batch_size]).float()
+            losses.append(float(_loss(xb, yb)))
+        model.train()
+        return float(np.mean(losses))
+
+    best_loss, best_state, patience_left = float("inf"), None, cfg.patience
+    epoch_stop = 0
+    for epoch in range(cfg.train_epochs):
+        if batch_schedule is not None:
+            batches = batch_schedule[epoch % len(batch_schedule)]
+        else:
+            order = np.random.permutation(len(xtr))
+            batches = [order[i:i + cfg.batch_size]
+                       for i in range(0, len(order), cfg.batch_size)]
+        for idx in batches:
+            xb = torch.from_numpy(xtr[idx]).float()
+            yb = torch.from_numpy(ytr[idx]).float()
+            t = yb.long().float()
+            if cfg.model == "DNN":
+                loss = loss_fn(model(xb, None), t)
+            else:
+                logits, info = model(xb)
+                loss = loss_fn(logits, t) + info["loss"].mean()
+                if cfg.model == "InterpGN":
+                    beta = _compute_beta(epoch, cfg.train_epochs,
+                                         cfg.beta_schedule)
+                    loss = loss + beta * loss_fn(info["shapelet_preds"], t)
+            loss.backward()
+            if cfg.gradient_clip > 0:
+                nn.utils.clip_grad_norm_(model.parameters(),
+                                         cfg.gradient_clip)
+            opt.step()
+            if cfg.pos_weight and cfg.model != "DNN":
+                model.step()
+            opt.zero_grad()
+        val_loss = _eval(*splits["val"])
+        if verbose and (epoch + 1) % cfg.log_interval == 0:
+            print(f"[torch] epoch {epoch + 1} val_crps {val_loss:.4f}")
+        if cfg.lr_decay:
+            sched.step()
+        if epoch >= cfg.min_epochs:
+            if val_loss < best_loss:
+                best_loss = val_loss
+                best_state = {k: v.detach().clone()
+                              for k, v in model.state_dict().items()}
+                patience_left = cfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    epoch_stop = epoch
+                    break
+        epoch_stop = epoch
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    test_loss = _eval(*splits["test"])
+    # an accuracy-like secondary metric: fraction of samples whose argmax
+    # bin contains the true target (both sides compute it identically)
+    @torch.no_grad()
+    def _bin_acc(x, y):
+        model.eval()
+        hits, n = 0, 0
+        edges = np.asarray(bin_edges, np.float32)
+        for i in range(0, len(x), cfg.batch_size):
+            xb = torch.from_numpy(x[i:i + cfg.batch_size]).float()
+            out = model(xb, None) if cfg.model == "DNN" else model(xb)[0]
+            pred_bin = out.argmax(-1).numpy()
+            true_bin = np.searchsorted(edges[:-1],
+                                       y[i:i + cfg.batch_size].astype(np.int64)
+                                       .astype(np.float32), side="left")
+            hits += int((pred_bin == true_bin).sum())
+            n += len(pred_bin)
+        return hits / max(n, 1)
+
+    return {"test_loss": test_loss, "val_loss": best_loss,
+            "bin_accuracy": 100.0 * _bin_acc(*splits["test"]),
+            "epoch_stop": epoch_stop}
 
 
 def train_torch_reference(cfg: Config, splits: Dict[str, Tuple[np.ndarray, np.ndarray]],

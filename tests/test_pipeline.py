@@ -111,3 +111,53 @@ def test_pipelined_moe_encoder_matches_sequential():
                                      n_microbatches=2)
     np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq),
                                atol=1e-5)
+
+
+def _moe_setup(n_micro=2, batch=4):
+    from sie_tpu.models.layers import Encoder
+
+    cfg = Config(d_model=16, d_ff=32, n_heads=2, e_layers=2, dropout=0.0,
+                 amp=False, moe_experts=4, moe_top_k=1,
+                 use_fused_attention=False)
+    enc = Encoder(cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.e_layers,
+                  cfg.dropout, cfg.activation,
+                  moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(batch, 8, cfg.d_model)).astype(np.float32))
+    variables = enc.init(jax.random.key(0), x, train=False)
+    return cfg, enc, variables, x
+
+
+def test_pipelined_moe_train_without_aux_raises():
+    """Training a MoE stack through the pipeline must NOT silently drop the
+    router's load-balance loss (VERDICT r3 item 5)."""
+    cfg, _, variables, x = _moe_setup()
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    with pytest.raises(ValueError, match="load-balance"):
+        pipelined_encoder_apply(cfg, variables["params"], x, mesh,
+                                n_microbatches=2, train=True)
+
+
+def test_pipelined_moe_aux_matches_per_microbatch_sum():
+    """return_aux=True threads the sown MoE aux through the schedule: the
+    collected scalar equals the mean over microbatches of the sequential
+    encoder's per-microbatch sown-loss sum (bubble ticks masked out)."""
+    cfg, enc, variables, x = _moe_setup(n_micro=2, batch=4)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    y_pipe, aux = pipelined_encoder_apply(
+        cfg, variables["params"], x, mesh, n_microbatches=2, train=True,
+        return_aux=True)
+
+    # expected: sequential encoder on each microbatch with a mutable
+    # 'losses' collection; sow accumulates across the 2 MoE layers
+    expected = []
+    y_seq = []
+    for mb in (x[:2], x[2:]):
+        y, mut = enc.apply(variables, mb, train=True, mutable=["losses"])
+        y_seq.append(y)
+        expected.append(sum(float(jnp.sum(s))
+                            for s in jax.tree.leaves(mut["losses"])))
+    np.testing.assert_allclose(float(aux), np.mean(expected), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_pipe),
+                               np.concatenate([np.asarray(v) for v in y_seq]),
+                               atol=1e-5)
