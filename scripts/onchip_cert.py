@@ -208,6 +208,11 @@ def cert_quant():
     print("[quant] QUANTIZED SERVING CERTIFIED")
 
 
+def jnp_sum(x):
+    import jax.numpy as jnp
+    return jnp.sum(x)
+
+
 def cert_ensemble():
     """Vectorized 5-seed training vs 1 seed on the flagship config: the
     vmapped program should train 5 seeds for far less than 5x single-seed
@@ -256,12 +261,9 @@ def cert_ensemble():
         print(f"[ensemble] {len(seeds)} seed(s): {dt * 1e3:.1f} ms/step "
               f"({len(seeds) * 64 / dt:.0f} samples/s)")
     print(f"[ensemble] 5-seed cost vs 5x single: "
-          f"{results[5] / (5 * results[1]) * 100:.0f}%")
-
-
-def jnp_sum(x):
-    import jax.numpy as jnp
-    return jnp.sum(x)
+          f"{results[5] / (5 * results[1]) * 100:.0f}% "
+          "(1-seed baseline runs through the same vmapped/lax.map "
+          "program, so the wrapper overhead cancels in this ratio)")
 
 
 if __name__ == "__main__":

@@ -21,10 +21,16 @@ MNE reads and writes):
   author binary test fixtures; `.gz` suffixes round-trip through gzip like
   the reference's `.fif.gz` support (eeg_processor.py:35-42).
 
-Validation status (documented honestly): round-trip and golden-fixture
-tested against this implementation; structural layout (tag record, ch_info
-struct, matrix footer) follows the published FIFF spec, but no real
-MNE-written CHISCO file exists in this container to cross-check against.
+Validation status (documented honestly): (a) round-trip and golden-fixture
+tested; (b) the reader is additionally validated against a HAND-ASSEMBLED
+byte fixture built in the test directly from the published spec tables with
+structural choices this writer never makes (explicit next-pointer chaining,
+float64 matrix payload, non-unit cal/range, foreign tags, columns-orient
+metadata), and the writer's output is re-parsed by an independent minimal
+tag-walker in the test (tests/test_eeg_fif.py) — so reader and writer no
+longer certify only each other. Still outstanding: no real MNE-written
+CHISCO file exists in this container (no network, mne not installable) to
+cross-check end-to-end.
 """
 
 from __future__ import annotations

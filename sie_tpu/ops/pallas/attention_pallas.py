@@ -613,7 +613,12 @@ def _fwd_rule(q, k, v, seed, scale, rate, interpret, block_kv):
     if _blocked(q.shape[1], block_kv):
         out, lse = _attn_fwd_blocked_cp(scale, rate, interpret,
                                         _blk(block_kv))(q, k, v, seed)
-        return out, (q, k, v, seed, out, lse)
+        # the kernel emits a lane-broadcast (BH, T_pad, 128) LSE (Mosaic
+        # block legality), but all 128 lanes are identical — save only lane
+        # 0 as the residual (128x smaller held live between fwd and bwd;
+        # e.g. ~2 MB instead of ~256 MB at BH=64, T=8k) and broadcast back
+        # right before the backward launches
+        return out, (q, k, v, seed, out, lse[..., :1])
     return (_attn_fwd_cp(scale, rate, interpret)(q, k, v, seed),
             (q, k, v, seed, None, None))
 
@@ -623,9 +628,10 @@ def _bwd_rule(scale, rate, interpret, block_kv, res, g):
     if interpret is None:
         interpret = _interpret_default()
     if _blocked(q.shape[1], block_kv):
+        lse128 = jnp.broadcast_to(lse, lse.shape[:2] + (128,))
         dq, dkk, dv = _attn_bwd_blocked_cp(scale, rate, interpret,
                                            _blk(block_kv))(q, k, v, seed, o,
-                                                           lse, g)
+                                                           lse128, g)
     else:
         dq, dkk, dv = _attn_bwd_cp(scale, rate, interpret)(q, k, v, seed, g)
     import numpy as np

@@ -24,8 +24,11 @@ over the mapped axis is the right call here, not a folded "bigger batch":
 - the lax.map body is traced/compiled ONCE, so compile time does not scale
   with the seed count.
 
-Unbatched operands are broadcast to the mapped axis before the map; XLA
-CSEs the copy. One level of vmap is supported (a second vmap over the
+Unbatched operands are NOT broadcast to the mapped axis — lax.map runs
+over the batched operands only and the body closes over the unbatched ones
+(scan operands are real buffers, so materializing an unbatched operand N
+times would cost O(N*size) HBM; e.g. shared data under a seed-vmap with
+per-seed shapelets). One level of vmap is supported (a second vmap over the
 already-mapped op would batch the scan body and hit the same missing rule
 — no current caller nests vmaps over these ops).
 
@@ -49,10 +52,23 @@ def sequential_vmap(op):
 
     @wrapped.def_vmap
     def _rule(axis_size, in_batched, *args):  # noqa: ANN001
-        full = tuple(
-            a if batched else jax.lax.broadcast(a, (axis_size,))
-            for a, batched in zip(args, in_batched))
-        out = jax.lax.map(lambda xs: op(*xs), full)
+        # map over the batched operands only; unbatched operands enter the
+        # body by closure (broadcasting them to the mapped axis would
+        # materialize N copies of shared buffers in HBM under lax.map)
+        batched_args = tuple(a for a, b in zip(args, in_batched) if b)
+        if not batched_args:               # degenerate: nothing is mapped
+            out = op(*args)
+            out = jax.tree.map(lambda o: jax.lax.broadcast(o, (axis_size,)),
+                               out)
+            return out, jax.tree.map(lambda _: True, out)
+
+        def body(xs):
+            it = iter(xs)
+            merged = tuple(next(it) if b else a
+                           for a, b in zip(args, in_batched))
+            return op(*merged)
+
+        out = jax.lax.map(body, batched_args)
         return out, jax.tree.map(lambda _: True, out)
 
     return wrapped

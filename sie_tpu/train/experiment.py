@@ -72,6 +72,21 @@ class Experiment:
         # staging them whole into HBM would defeat the point
         self.device_resident = (mesh is None and not cfg.stream_from_disk
                                 and total_bytes < 4 * 1024 ** 3)
+        # MoE capacity is per-group over ALL timesteps, real or padded
+        # (models/moe.py) — warn once on genuinely ragged batches, where
+        # padded tokens can crowd real ones out of expert capacity
+        if cfg.moe_experts > 0:
+            pm = getattr(self.train_data, "padding_mask", None)
+            if pm is not None and float(np.min(pm)) == 0.0:
+                frac = 1.0 - float(np.mean(pm))
+                self._log(
+                    f"WARNING: --moe_experts with ragged batches — "
+                    f"{100 * frac:.1f}% of timesteps are padding and are "
+                    f"routed like real tokens, consuming expert capacity "
+                    f"(models/moe.py). Real tokens may be dropped at the "
+                    f"capacity margin; raise --moe_capacity_factor (e.g. by "
+                    f"1/(1-{frac:.2f}) = {1.0 / max(1e-6, 1 - frac):.2f}x) "
+                    f"to absorb the padded load.")
 
     def _log(self, msg: str):
         if self.verbose:

@@ -249,3 +249,38 @@ def test_aux_loss_keeps_experts_balanced():
     frac = np.bincount(choice, minlength=E_local) / choice.size
     assert frac.max() < 0.60, frac    # balanced-ish: ideal 0.25 each
     assert (frac > 0.02).sum() >= 2, frac   # at least two live experts
+
+
+def test_moe_ragged_batch_warning(tmp_path, capsys):
+    """Ragged batches + --moe_experts: padded timesteps consume expert
+    capacity (models/moe.py routes them like real tokens) — the Experiment
+    must warn loudly instead of silently dropping real tokens at the margin
+    (VERDICT r3 weak 5)."""
+    from sie_tpu.config import Config
+    from sie_tpu.train.experiment import Experiment
+
+    d = tmp_path / "Rag"
+    d.mkdir()
+    head = ("@problemName Rag\n@timeStamps false\n@univariate false\n"
+            "@dimensions 2\n@equalLength false\n"
+            "@classLabel true a b\n@data\n")
+    rows = ["1,2,3,4,5,6,7,8:1,2,3,4,5,6,7,8:a\n",
+            "4,5,6,7:4,5,6,7:b\n"] * 4                 # lengths 8 and 4
+    (d / "Rag_TRAIN.ts").write_text(head + "".join(rows))
+    (d / "Rag_TEST.ts").write_text(head + "".join(rows[:2]))
+
+    def cfg(**kw):
+        return Config(data="UEA", data_root=str(tmp_path), dataset="Rag",
+                      model="DNN", dnn_type="Transformer", d_model=8, d_ff=8,
+                      n_heads=2, e_layers=1, batch_size=4, train_epochs=1,
+                      amp=False, use_pallas=False, use_fused_attention=False,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      result_dir=str(tmp_path / "res"), **kw)
+
+    Experiment(cfg(moe_experts=2), verbose=True)
+    out = capsys.readouterr().out
+    assert "WARNING: --moe_experts with ragged batches" in out
+    assert "moe_capacity_factor" in out
+
+    Experiment(cfg(), verbose=True)                    # dense FFN: no warning
+    assert "WARNING: --moe_experts" not in capsys.readouterr().out
