@@ -37,6 +37,10 @@ def get_args(argv=None):
     p.add_argument("--target_timepoints", type=int, default=1651)
     p.add_argument("--max_files", type=int, default=1000)
     p.add_argument("--max_subjects", type=int, default=5)
+    p.add_argument("--synthetic_trials", type=int, default=0,
+                   help="synthetic-EEG fallback: generate exactly this many "
+                        "trials (imbalanced classes, max_subjects subjects); "
+                        "0 = legacy min(max_files*10, 240)")
     p.add_argument("--subject_id", type=str, default="sub-01")
     p.add_argument("--subject_ids", type=str, nargs="+",
                    default=["sub-01,sub-02,sub-03"])
@@ -114,6 +118,9 @@ def get_args(argv=None):
     # ===== DNN configs =====
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--num_kernels", type=int, default=6)
+    p.add_argument("--patch_chunk_rows", type=int, default=0,
+                   help="PatchTST encoder scan chunk (rows); 0=default 2048, "
+                        ">= B*C disables chunking and remat")
     p.add_argument("--enc_in", type=int, default=7)
     p.add_argument("--dec_in", type=int, default=7)
     p.add_argument("--c_out", type=int, default=7)

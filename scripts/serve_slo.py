@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Serving SLO benchmark (VERDICT r3 item 6): measured p50/p99 latency and
+throughput for the HTTP inference server under concurrent load, per request
+size, for the three serving paths (live f32 Predictor, int8 bundle, AOT
+StableHLO). One path per process (relay executable hygiene).
+
+Workload: flagship InterpGN+Transformer at CHISCO shape (845 x 122; weights
+random-init — SLO is about latency, not accuracy). 4 concurrent clients x 24
+requests per request-size bucket (1 / 8 / 32 rows), after a warmup compile of
+each bucket. `window` variants add --batch_window_ms micro-batching.
+
+Usage: python scripts/serve_slo.py {f32,int8,aot} [window_ms] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEQ_LEN, ENC_IN, NUM_CLASS = 845, 122, 3
+BUCKETS = (1, 8, 32)
+CLIENTS, REQS = 4, 24
+
+
+def build_predictor(mode: str):
+    import jax
+    import jax.numpy as jnp
+    from sie_tpu.config import Config
+    from sie_tpu.models import build_model
+    from sie_tpu.serve import CompiledPredictor, Predictor
+
+    cfg = Config(data="EEG3", model="InterpGN", dnn_type="Transformer",
+                 seq_len=SEQ_LEN, enc_in=ENC_IN, num_class=NUM_CLASS,
+                 num_shapelet=10, d_model=512, d_ff=2048, n_heads=8,
+                 e_layers=2, dropout=0.0, amp=True, seed=0,
+                 use_pallas=jax.default_backend() == "tpu")
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, SEQ_LEN, ENC_IN), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x0, jnp.ones((2, SEQ_LEN)), train=False)
+    v = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        v["batch_stats"] = variables["batch_stats"]
+    pred = Predictor(cfg, v, max_batch=64)
+    if mode == "f32":
+        return pred
+    import tempfile
+    art = tempfile.mkdtemp(prefix=f"slo_{mode}_")
+    if mode == "int8":
+        path = os.path.join(art, "bundle")
+        pred.save_bundle(path, quantize=True)
+        return Predictor.load_bundle(path, max_batch=64)
+    if mode == "aot":
+        path = os.path.join(art, "hlo")
+        pred.export_stablehlo(path, batch_sizes=BUCKETS)
+        return CompiledPredictor(path)
+    raise SystemExit(f"unknown mode {mode!r}")
+
+
+def drive(url: str, rows: int):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(rows, SEQ_LEN, ENC_IN)).astype(np.float32)
+    body = json.dumps({"x": x.tolist()}).encode()
+
+    # warmup (compiles the bucket; excluded from timing)
+    for _ in range(2):
+        urllib.request.urlopen(urllib.request.Request(
+            url + "/predict", data=body,
+            headers={"Content-Type": "application/json"}), timeout=600).read()
+
+    lat, lock = [], threading.Lock()
+
+    def client():
+        for _ in range(REQS):
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(urllib.request.Request(
+                    url + "/predict", data=body,
+                    headers={"Content-Type": "application/json"}),
+                    timeout=600) as r:
+                r.read()
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat = np.sort(np.asarray(lat))
+    n = len(lat)
+    return {
+        "rows_per_request": rows,
+        "requests": n,
+        "concurrency": CLIENTS,
+        "p50_ms": round(1e3 * float(lat[n // 2]), 1),
+        "p99_ms": round(1e3 * float(lat[min(n - 1, int(0.99 * n))]), 1),
+        "mean_ms": round(1e3 * float(lat.mean()), 1),
+        "throughput_rows_per_s": round(n * rows / wall, 1),
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    window_ms = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from sie_tpu.serve_http import PredictorServer
+
+    print(f"[slo] building {mode} predictor ...", file=sys.stderr, flush=True)
+    pred = build_predictor(mode)
+    srv = PredictorServer(pred, max_request_rows=4096,
+                          batch_window_ms=window_ms)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    results = []
+    for rows in BUCKETS:
+        print(f"[slo] {mode} rows={rows}: warm + drive ...",
+              file=sys.stderr, flush=True)
+        r = drive(url, rows)
+        r.update(mode=mode, window_ms=window_ms)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    httpd.shutdown()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

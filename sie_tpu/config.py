@@ -33,6 +33,10 @@ class Config:
     subject_id: str = "sub-01"
     subject_ids: Tuple[str, ...] = ("sub-01", "sub-02", "sub-03")
     task_type: str = "imagine"        # 'imagine' | 'read' | 'both'
+    # synthetic-EEG fallback scale (39-class cert, VERDICT r4): 0 keeps the
+    # legacy min(max_files*10, 240); >0 generates exactly this many trials
+    # over max_subjects subjects with an imbalanced (Zipf) class mix
+    synthetic_trials: int = 0
     test_size: float = 0.2
     val_size: float = 0.1
     normalizer: str = "standardization"  # reference uea.py:85-109 Normalizer
@@ -89,6 +93,10 @@ class Config:
     # ===== DNN backbone configs (reference run.py:112-135) =====
     top_k: int = 5
     num_kernels: int = 6
+    # PatchTST channel-independent encoder: rows per lax.scan chunk
+    # (0 = default 2048; >= B*C disables chunking AND remat). Perf knob —
+    # see scripts/patchtst_lab.py and docs/BENCH_NOTES.md.
+    patch_chunk_rows: int = 0
     enc_in: int = 7
     dec_in: int = 7
     c_out: int = 7

@@ -268,7 +268,7 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
                             three_class, cfg.target_channels,
                             cfg.target_timepoints,
                             cfg.original_fs, cfg.target_fs, cfg.json_path,
-                            synthetic,
+                            synthetic, cfg.synthetic_trials,
                             cfg.task_type)).encode()).hexdigest()[:12]
     cache = os.path.join(cfg.cache_dir, f"eeg_processed_{tag}.npz")
     if os.path.exists(cache):
@@ -280,9 +280,19 @@ def _load_processed(cfg: Config, three_class: bool, synthetic: Optional[bool]):
         use_synth = not os.path.isdir(cfg.data_root)
     if use_synth:
         from sie_tpu.data.synthetic import synthetic_eeg_trials, synthetic_textmaps
-        raw, labels, subjects = synthetic_eeg_trials(
-            n_trials=min(cfg.max_files * 10, 240),
-            n_channels=cfg.target_channels, n_times=cfg.target_timepoints)
+        if cfg.synthetic_trials > 0:
+            # CHISCO-scale cert mode: exact trial count, imbalanced classes,
+            # LOSO-ready subject count (--synthetic_trials)
+            raw, labels, subjects = synthetic_eeg_trials(
+                n_trials=cfg.synthetic_trials,
+                n_channels=cfg.target_channels,
+                n_times=cfg.target_timepoints,
+                n_subjects=max(cfg.max_subjects, 2), imbalanced=True)
+        else:
+            raw, labels, subjects = synthetic_eeg_trials(
+                n_trials=min(cfg.max_files * 10, 240),
+                n_channels=cfg.target_channels,
+                n_times=cfg.target_timepoints)
         text_maps = synthetic_textmaps()
     else:
         subject_ids = resolve_subjects(cfg)

@@ -15,7 +15,7 @@ import numpy as np
 def synthetic_eeg_trials(n_trials: int = 120, n_channels: int = 122,
                          n_times: int = 1651, n_classes: int = 39,
                          n_subjects: int = 3, fs: float = 500.0,
-                         seed: int = 0):
+                         seed: int = 0, imbalanced: bool = False):
     """Returns (raw (N, C, T) float64 volts, text_labels list, subject_idx (N,)).
 
     Trial amplitude ~ tens of microvolts (so the reference's x1e6 scaling lands
@@ -29,7 +29,14 @@ def synthetic_eeg_trials(n_trials: int = 120, n_channels: int = 122,
     raw = np.zeros((n_trials, n_channels, n_times))
     labels = []
     subjects = rng.integers(0, n_subjects, n_trials)
-    classes = rng.integers(0, n_classes, n_trials)
+    if imbalanced:
+        # Zipf-ish class mix like real word-frequency data (the CHISCO
+        # 39-class regime is imbalanced; reference prints the class
+        # distribution at test, exp:1080-1092)
+        p = 1.0 / np.arange(1, n_classes + 1)
+        classes = rng.choice(n_classes, size=n_trials, p=p / p.sum())
+    else:
+        classes = rng.integers(0, n_classes, n_trials)
     for i in range(n_trials):
         k = classes[i]
         phase = rng.uniform(0, 2 * np.pi, 4)

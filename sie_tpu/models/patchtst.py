@@ -81,8 +81,11 @@ class _PatchBase(nn.Module):
         # channel-row chunks (sequential => peak activations / n_chunks, same
         # flops) with remat inside each chunk. Params are broadcast, so the
         # checkpoint tree is chunk-count independent.
+        # cfg.patch_chunk_rows overrides the chunk size (perf tuning,
+        # scripts/patchtst_lab.py); 0 keeps the default.
         rows = b * c
-        n_chunks = max(1, -(-rows // _CHUNK_ROWS))
+        chunk_rows = cfg.patch_chunk_rows or _CHUNK_ROWS
+        n_chunks = max(1, -(-rows // chunk_rows))
         if n_chunks == 1:
             # small enough for one pass: same param tree, no remat recompute
             _, h = _EncoderChunk(cfg, train, use_remat=False,
