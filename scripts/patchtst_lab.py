@@ -34,11 +34,14 @@ def main():
 
     chunk = 0
     fused = True
+    eval_only = False
     for part in variant.split("_"):
         if part.startswith("chunk"):
             chunk = int(part[len("chunk"):])
         elif part == "xla":
             fused = False
+        elif part == "eval":
+            eval_only = True          # fwd-only inference step (decompose)
         elif part in ("baseline", "attn"):
             pass
         else:
@@ -70,16 +73,29 @@ def main():
     idx = np.arange(BATCH, dtype=np.int32)
     staged = trainer.stage_steps([(idx, w)] * iters, 1.0)
     print(f"[lab] {variant}: compiling ...", file=sys.stderr, flush=True)
+
+    if eval_only:
+        def do(i):
+            logits, _ = trainer.eval_step_staged(state, dev, staged, i)
+            return logits
+        sync = lambda out: float(jax.device_get(out[0, 0]))
+    else:
+        def do(i):
+            nonlocal state
+            state, loss, _ = trainer.train_step_staged(state, dev, staged, i)
+            return loss
+        sync = lambda out: float(jax.device_get(out))
+
     for _ in range(3):
-        state, loss, _ = trainer.train_step_staged(state, dev, staged, 0)
-    print(f"[lab] warm loss {float(jax.device_get(loss)):.4f}; timing ...",
+        out = do(0)
+    print(f"[lab] warm sync {sync(out):.4f}; timing ...",
           file=sys.stderr, flush=True)
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
-            state, loss, _ = trainer.train_step_staged(state, dev, staged, i)
-        float(jax.device_get(loss))
+            out = do(i)
+        sync(out)
         reps.append((time.perf_counter() - t0) / iters)
     dt = float(np.median(reps))
     print(f"{variant}: {dt * 1e3:.1f} ms/step "

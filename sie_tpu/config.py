@@ -94,9 +94,14 @@ class Config:
     top_k: int = 5
     num_kernels: int = 6
     # PatchTST channel-independent encoder: rows per lax.scan chunk
-    # (0 = default 2048; >= B*C disables chunking AND remat). Perf knob —
-    # see scripts/patchtst_lab.py and docs/BENCH_NOTES.md.
+    # (0 = default 2048; >= B*C disables chunking AND remat) and whether the
+    # multi-chunk path remats inside each chunk. NOTE: patch_remat=False
+    # under a multi-chunk scan does NOT reduce peak memory — scan stacks
+    # every chunk's saved residuals, totalling the unchunked footprint
+    # (~30 GB at EEG width; OOM on v5e). It exists for A/B measurement on
+    # bigger-HBM parts. Perf knobs — scripts/patchtst_lab.py, BENCH_NOTES.
     patch_chunk_rows: int = 0
+    patch_remat: bool = True
     enc_in: int = 7
     dec_in: int = 7
     c_out: int = 7

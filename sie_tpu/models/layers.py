@@ -106,6 +106,12 @@ class FullAttentionLayer(nn.Module):
     # path is certified on a real chip (interpret-certified only so far —
     # NEXT_STEPS r3), and because in interpret mode (the CPU fallback) a
     # T>4096 blocked grid is far slower than one fused XLA einsum.
+    fused_min_len: int = 256    # T BELOW this also falls back to XLA: the
+    # kernel grid is one program per (batch*head) row-block, so short-T /
+    # huge-BH shapes degenerate into tens of thousands of tiny launches.
+    # Measured r4 (PatchTST channel-independent step, BH=16384, T=105):
+    # fused 955.8 ms vs XLA 659.0 ms — while at the flagship shape (BH=512,
+    # T=845) the kernel wins 9.8 vs 21 ms (docs/BENCH_NOTES.md).
     causal: bool = False        # TriangularCausalMask (mask_flag=True path,
     # reference SelfAttention_Family.py:63-67 + utils/masking.py:4-13)
 
@@ -145,6 +151,7 @@ class FullAttentionLayer(nn.Module):
                      and q_in.shape[1] == k_in.shape[1]
                      and (self.fused_max_len == 0
                           or q_in.shape[1] <= self.fused_max_len)
+                     and q_in.shape[1] >= self.fused_min_len
                      and dk <= 128)
         if use_flash:
             out = self._flash(q, k, v, dk)

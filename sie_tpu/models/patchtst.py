@@ -98,7 +98,8 @@ class _PatchBase(nn.Module):
             scan = nn.scan(_EncoderChunk, variable_broadcast="params",
                            split_rngs={"params": False, "dropout": True},
                            in_axes=0, out_axes=0)
-            _, hs = scan(cfg, train, name="enc_scan")(None, hp)
+            _, hs = scan(cfg, train, use_remat=cfg.patch_remat,
+                         name="enc_scan")(None, hp)
             h = hs.reshape(n_chunks * chunk, patch_num, cfg.d_model)[:rows]
         return h.reshape(b, c, patch_num, cfg.d_model)
 
