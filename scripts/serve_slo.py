@@ -10,6 +10,16 @@ requests per request-size bucket (1 / 8 / 32 rows), after a warmup compile of
 each bucket. `window` variants add --batch_window_ms micro-batching.
 
 Usage: python scripts/serve_slo.py {f32,int8,aot} [window_ms] [out.json]
+                                   [encoding: json|b64|npz] [all|lean]
+
+`lean` adds `fields: ["probs"]` response projection (drops the (B, 7320)
+InterpGN p/d interpretability tensors from the response).
+
+`encoding` selects the request/response transport (default json — nested
+float lists, the human-debuggable path). `b64` uses the x_b64 fast path
+(JSON response), `npz` the binary path both directions; the deltas
+quantify how much of the JSON-path latency is host-side text codec
+rather than the device.
 """
 
 from __future__ import annotations
@@ -67,26 +77,57 @@ def build_predictor(mode: str):
     raise SystemExit(f"unknown mode {mode!r}")
 
 
-def drive(url: str, rows: int):
+def _build_request(url: str, x: np.ndarray, encoding: str,
+                   lean: bool = False):
+    import base64
+    import io
+    fields = ["probs"] if lean else None
+    if encoding == "json":
+        payload = {"x": x.tolist()}
+        if fields:
+            payload["fields"] = fields
+        body = json.dumps(payload).encode()
+        headers = {"Content-Type": "application/json"}
+    elif encoding == "b64":
+        payload = {"x_b64": base64.b64encode(x.tobytes()).decode(),
+                   "shape": list(x.shape)}
+        if fields:
+            payload["fields"] = fields
+        body = json.dumps(payload).encode()
+        headers = {"Content-Type": "application/json"}
+    elif encoding == "npz":
+        buf = io.BytesIO()
+        arrays = {"x": x}
+        if fields:
+            arrays["fields"] = np.asarray(fields)
+        np.savez(buf, **arrays)
+        body = buf.getvalue()
+        headers = {"Content-Type": "application/x-npz",
+                   "Accept": "application/x-npz"}
+    else:
+        raise SystemExit(f"unknown encoding {encoding!r}")
+    return urllib.request.Request(url + "/predict", data=body,
+                                  headers=headers)
+
+
+def drive(url: str, rows: int, encoding: str = "json", lean: bool = False):
     rng = np.random.default_rng(1)
-    x = rng.normal(size=(rows, SEQ_LEN, ENC_IN)).astype(np.float32)
-    body = json.dumps({"x": x.tolist()}).encode()
+    x = rng.normal(size=(rows, SEQ_LEN, ENC_IN)).astype("<f4")
+    req = _build_request(url, x, encoding, lean)
 
     # warmup (compiles the bucket; excluded from timing)
     for _ in range(2):
-        urllib.request.urlopen(urllib.request.Request(
-            url + "/predict", data=body,
-            headers={"Content-Type": "application/json"}), timeout=600).read()
+        urllib.request.urlopen(req, timeout=600).read()
 
     lat, lock = [], threading.Lock()
 
     def client():
+        # body prebuilt per thread: measured latency is server-side
+        # parse + device + response encode, not client-side encode
+        my_req = _build_request(url, x, encoding, lean)
         for _ in range(REQS):
             t0 = time.perf_counter()
-            with urllib.request.urlopen(urllib.request.Request(
-                    url + "/predict", data=body,
-                    headers={"Content-Type": "application/json"}),
-                    timeout=600) as r:
+            with urllib.request.urlopen(my_req, timeout=600) as r:
                 r.read()
             dt = time.perf_counter() - t0
             with lock:
@@ -116,6 +157,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "f32"
     window_ms = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    encoding = sys.argv[4] if len(sys.argv) > 4 else "json"
+    lean = len(sys.argv) > 5 and sys.argv[5] == "lean"
 
     from sie_tpu.serve_http import PredictorServer
 
@@ -129,10 +172,11 @@ def main():
 
     results = []
     for rows in BUCKETS:
-        print(f"[slo] {mode} rows={rows}: warm + drive ...",
+        print(f"[slo] {mode}/{encoding} rows={rows}: warm + drive ...",
               file=sys.stderr, flush=True)
-        r = drive(url, rows)
-        r.update(mode=mode, window_ms=window_ms)
+        r = drive(url, rows, encoding, lean)
+        r.update(mode=mode, window_ms=window_ms, encoding=encoding,
+                 fields="lean" if lean else "all")
         results.append(r)
         print(json.dumps(r), flush=True)
     httpd.shutdown()

@@ -12,13 +12,17 @@ model code —
 
 Bulk payloads go base64 (the server's x_b64 fast path) above
 `json_threshold_rows`; below it, plain JSON lists keep requests
-human-debuggable.
+human-debuggable. `InferenceClient(..., encoding="npz")` switches to the
+server's binary npz path (raw f32 buffers both directions — no JSON/b64
+encode of the tensors at all), the fastest transport for bulk traffic
+(serving SLO A/B in docs/BENCH_NOTES.md).
 """
 
 from __future__ import annotations
 
 import base64
 import dataclasses
+import io
 import json
 import urllib.error
 import urllib.request
@@ -39,9 +43,10 @@ class ServerError(RuntimeError):
 
 @dataclasses.dataclass
 class ClientPredictOutput:
-    logits: np.ndarray
-    probs: np.ndarray
     classes: np.ndarray
+    # logits/probs are None only when a `fields` projection excluded them
+    logits: Optional[np.ndarray] = None
+    probs: Optional[np.ndarray] = None
     eta: Optional[np.ndarray] = None
     p: Optional[np.ndarray] = None
     d: Optional[np.ndarray] = None
@@ -51,10 +56,13 @@ class ClientPredictOutput:
 
 class InferenceClient:
     def __init__(self, base_url: str, timeout: float = 630.0,
-                 json_threshold_rows: int = 8):
+                 json_threshold_rows: int = 8, encoding: str = "auto"):
+        if encoding not in ("auto", "json", "b64", "npz"):
+            raise ValueError(f"unknown encoding {encoding!r}")
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.json_threshold_rows = json_threshold_rows
+        self.encoding = encoding
 
     # ---- transport -------------------------------------------------------
     def _request(self, path: str, payload: Optional[dict] = None) -> dict:
@@ -87,23 +95,63 @@ class InferenceClient:
                                     timeout=self.timeout) as r:
             return r.read().decode()
 
+    def _request_npz(self, x, padding_mask, gating_value, fields) -> dict:
+        arrays = {"x": x}
+        if padding_mask is not None:
+            arrays["padding_mask"] = np.asarray(padding_mask, np.float32)
+        if gating_value is not _MISSING:
+            arrays["gating_value"] = np.float32(
+                np.nan if gating_value is None else gating_value)
+        if fields is not None:
+            arrays["fields"] = np.asarray(list(fields))
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            self.base_url + "/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npz",
+                     "Accept": "application/x-npz"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = r.read()
+                if "npz" in (r.headers.get("Content-Type") or ""):
+                    with np.load(io.BytesIO(body),
+                                 allow_pickle=False) as z:
+                        return {k: z[k] for k in z.files}
+                return json.loads(body)
+        except urllib.error.HTTPError as e:
+            try:
+                msg = json.loads(e.read()).get("error", "")
+            except Exception:   # noqa: BLE001 — best-effort error body
+                msg = ""
+            raise ServerError(e.code, msg) from None
+
     def predict(self, x: np.ndarray,
                 padding_mask: Optional[np.ndarray] = None,
-                gating_value=_MISSING) -> ClientPredictOutput:
+                gating_value=_MISSING,
+                fields: Optional[list] = None) -> ClientPredictOutput:
+        """`fields`: optional list of output names to return (server-side
+        response projection; `classes` always comes back)."""
         x = np.ascontiguousarray(np.asarray(x, dtype="<f4"))
         if x.ndim != 3:
             raise ValueError(f"x must be (B, T, C); got {x.shape}")
-        if x.shape[0] > self.json_threshold_rows:
-            payload = {"x_b64": base64.b64encode(x.tobytes()).decode(),
-                       "shape": list(x.shape)}
+        if self.encoding == "npz":
+            resp = self._request_npz(x, padding_mask, gating_value, fields)
         else:
-            payload = {"x": x.tolist()}
-        if padding_mask is not None:
-            payload["padding_mask"] = np.asarray(
-                padding_mask, np.float32).tolist()
-        if gating_value is not _MISSING:
-            payload["gating_value"] = gating_value
-        resp = self._request("/predict", payload)
+            if self.encoding == "b64" or (
+                    self.encoding == "auto"
+                    and x.shape[0] > self.json_threshold_rows):
+                payload = {"x_b64": base64.b64encode(x.tobytes()).decode(),
+                           "shape": list(x.shape)}
+            else:
+                payload = {"x": x.tolist()}
+            if padding_mask is not None:
+                payload["padding_mask"] = np.asarray(
+                    padding_mask, np.float32).tolist()
+            if gating_value is not _MISSING:
+                payload["gating_value"] = gating_value
+            if fields is not None:
+                payload["fields"] = list(fields)
+            resp = self._request("/predict", payload)
         fields = {f.name for f in dataclasses.fields(ClientPredictOutput)}
         out = {k: np.asarray(v, np.float32) for k, v in resp.items()
                if k in fields}

@@ -395,10 +395,18 @@ class Predictor:
 
     # ---- inference ------------------------------------------------------
     def predict(self, x: np.ndarray, padding_mask: Optional[np.ndarray] = None,
-                gating_value=_CFG) -> PredictOutput:
+                gating_value=_CFG,
+                fields: Optional[set] = None) -> PredictOutput:
         """x: (B, seq_len, enc_in). Returns per-sample outputs for all B rows
         regardless of bucket padding or chunking. gating_value defaults to
-        the config's (reference test-time semantics); pass None to disable."""
+        the config's (reference test-time semantics); pass None to disable.
+
+        `fields`: optional set of output names to materialize. Skipped
+        interpretability tensors (e.g. the (B, 7320) InterpGN p/d) are
+        never fetched from the device — on a remote-attached TPU the
+        device->host transfer is the cost, not the compute — and come back
+        None. logits/probs/classes are always materialized (logits is the
+        transfer anchor)."""
         if gating_value is _CFG:
             gating_value = self.cfg.gating_value
         x = np.asarray(x, np.float32)
@@ -413,13 +421,17 @@ class Predictor:
         for lo in range(0, b, self.max_batch):
             pieces.append(self._predict_chunk(
                 x[lo: lo + self.max_batch],
-                padding_mask[lo: lo + self.max_batch], gating_value))
+                padding_mask[lo: lo + self.max_batch], gating_value,
+                fields))
         out = {k: (np.concatenate([p[k] for p in pieces])
                    if pieces[0][k] is not None else None)
                for k in pieces[0]}
         return PredictOutput(**out)
 
-    def _predict_chunk(self, x, mask, gating_value) -> Dict[str, Any]:
+    _INFO_FIELDS = ("eta", "p", "d", "shapelet_preds", "dnn_preds")
+
+    def _predict_chunk(self, x, mask, gating_value,
+                       fields: Optional[set] = None) -> Dict[str, Any]:
         b = x.shape[0]
         bucket = self._bucket(b)
         if bucket > b:
@@ -434,13 +446,13 @@ class Predictor:
         logits, info = self._program(bucket, gating_value)(
             self.variables, xd, md)
         logits = np.asarray(jax.device_get(logits))[:b]
-        info = jax.device_get(info)
-        grab = lambda a: np.asarray(a)[:b] if a is not None else None
         probs = _softmax_probs(logits, self.temperature)
-        return {
-            "logits": logits, "probs": probs,
-            "classes": np.argmax(logits, -1),
-            "eta": grab(info.eta), "p": grab(info.p), "d": grab(info.d),
-            "shapelet_preds": grab(info.shapelet_preds),
-            "dnn_preds": grab(info.dnn_preds),
-        }
+        out = {"logits": logits, "probs": probs,
+               "classes": np.argmax(logits, -1)}
+        for k in self._INFO_FIELDS:
+            a = getattr(info, k)
+            if a is None or (fields is not None and k not in fields):
+                out[k] = None           # device buffer never fetched
+            else:
+                out[k] = np.asarray(jax.device_get(a))[:b]
+        return out

@@ -18,6 +18,18 @@ Endpoints:
   base64 little-endian f32 buffer as {"x_b64": ..., "shape": [B, T, C]}
   for bulk traffic). Response: logits/probs/classes (+ eta/p/d for
   InterpGN) as JSON lists.
+- binary bulk path: `POST /predict` with `Content-Type: application/x-npz`
+  and an uncompressed `np.savez` body (keys `x` (B, T, C) f32, optional
+  `padding_mask` (B, T), optional 0-d `gating_value` — NaN means JSON
+  null). With `Accept: application/x-npz` the response is an npz of the
+  same output arrays. JSON-list encode/parse of multi-MB float tensors
+  costs seconds of host CPU per request (serving SLO A/B in
+  docs/BENCH_NOTES.md); npz is a straight buffer copy both ways. Errors
+  are always JSON.
+- response projection: an optional `fields` key (JSON list of strings, or
+  a string array in the npz body) keeps only the named output arrays —
+  e.g. `["probs"]` drops the (B, 7320) InterpGN p/d interpretability
+  tensors a monitoring client never reads. `classes` is always included.
 
 TPU-serving behavior comes from the Predictor: bucket-padded jit programs
 (ragged request sizes never recompile), chunking above max_batch, optional
@@ -39,7 +51,9 @@ from __future__ import annotations
 
 import argparse
 import base64
+import io
 import json
+import math
 import queue as _queue_mod
 import threading
 import time
@@ -72,6 +86,39 @@ def _decode_x(payload: dict, seq_len: int, enc_in: int) -> np.ndarray:
     return np.ascontiguousarray(x, np.float32)
 
 
+NPZ_CONTENT_TYPES = ("application/x-npz", "application/octet-stream")
+
+_RESPONSE_FIELDS = {"logits", "probs", "classes", "eta", "p", "d",
+                    "shapelet_preds", "dnn_preds"}
+
+
+def _decode_npz_body(body: bytes) -> dict:
+    """npz request body -> the same payload dict the JSON route builds.
+
+    `gating_value` rides as a 0-d float array; NaN encodes JSON null
+    (explicitly disable hard gating) since npz has no null.
+    """
+    try:
+        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            payload = {k: z[k] for k in z.files}
+    except Exception as e:   # zipfile/np.load raise several types
+        raise ValueError(f"invalid npz body: {e}") from None
+    if "gating_value" in payload:
+        try:
+            g = float(payload["gating_value"])
+        except (TypeError, ValueError):
+            raise ValueError("npz gating_value must be a 0-d number "
+                             "(NaN for null)") from None
+        payload["gating_value"] = None if math.isnan(g) else g
+    return payload
+
+
+def _encode_npz(arrays: dict) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
 _LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
                     5.0, 10.0)
 
@@ -79,10 +126,11 @@ _LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
 class _Pending:
     """One queued request inside the micro-batcher."""
 
-    __slots__ = ("x", "mask", "gating", "event", "out", "err")
+    __slots__ = ("x", "mask", "gating", "fields", "event", "out", "err")
 
-    def __init__(self, x, mask, gating):
+    def __init__(self, x, mask, gating, fields=None):
         self.x, self.mask, self.gating = x, mask, gating
+        self.fields = fields   # set of output names, or None = all
         self.event = threading.Event()
         self.out = None
         self.err = None
@@ -165,6 +213,11 @@ class PredictorServer:
         return self.predictor.cfg.seq_len, self.predictor.cfg.enc_in
 
     def handle_predict(self, payload: dict) -> dict:
+        """JSON-list response body (back-compat API)."""
+        return {k: v.tolist()
+                for k, v in self.handle_predict_arrays(payload).items()}
+
+    def handle_predict_arrays(self, payload: dict) -> dict:
         seq_len, enc_in = self._shape()
         x = _decode_x(payload, seq_len, enc_in)
         if x.shape[0] > self.max_request_rows:
@@ -184,30 +237,54 @@ class PredictorServer:
             raise ValueError("gating_value is baked into StableHLO "
                              "artifacts at export time and cannot be "
                              "overridden per request")
+        fields = payload.get("fields")
+        keep = None
+        if fields is not None:
+            try:
+                keep = {str(f) for f in np.ravel(fields)}
+            except TypeError:
+                raise ValueError("fields must be a list of strings") \
+                    from None
+            unknown = keep - _RESPONSE_FIELDS
+            if unknown:
+                raise ValueError(
+                    f"unknown fields {sorted(unknown)}; "
+                    f"valid: {sorted(_RESPONSE_FIELDS)}")
+            keep.add("classes")   # rows anchor — always present
         if self.batch_window > 0:
-            out = self._predict_batched(x, mask, gating)
+            # the batcher fetches the UNION of the window's fields; this
+            # request's own projection is applied below
+            out = self._predict_batched(x, mask, gating, keep)
         else:
-            out = self._predict_now(x, mask, gating)
-        resp = {"logits": out.logits.tolist(),
-                "probs": out.probs.tolist(),
-                "classes": out.classes.tolist()}
+            out = self._predict_now(x, mask, gating, keep)
+        resp = {"logits": np.asarray(out.logits),
+                "probs": np.asarray(out.probs),
+                "classes": np.asarray(out.classes)}
         for k in ("eta", "p", "d", "shapelet_preds", "dnn_preds"):
             v = getattr(out, k)
             if v is not None:
-                resp[k] = np.asarray(v).tolist()
+                resp[k] = np.asarray(v)
+        if keep is not None:
+            resp = {k: v for k, v in resp.items() if k in keep}
         return resp
 
-    def _predict_now(self, x, mask, gating):
+    def _predict_now(self, x, mask, gating, fields=None):
         with self.lock:
+            kw = {}
+            if fields is not None and not self._is_aot:
+                # live Predictor: projected-out tensors are never fetched
+                # from the device (serve.Predictor.predict fields)
+                kw["fields"] = fields
             if gating is _MISSING:
-                return self.predictor.predict(x, mask)
-            return self.predictor.predict(x, mask, gating_value=gating)
+                return self.predictor.predict(x, mask, **kw)
+            return self.predictor.predict(x, mask, gating_value=gating,
+                                          **kw)
 
     # ---- dynamic micro-batching -------------------------------------------
-    def _predict_batched(self, x, mask, gating):
+    def _predict_batched(self, x, mask, gating, fields=None):
         if mask is None:
             mask = np.ones(x.shape[:2], np.float32)
-        p = _Pending(x, mask, gating)
+        p = _Pending(x, mask, gating, fields)
         self._bq.put(p)
         if not p.event.wait(timeout=600.0):
             raise RuntimeError("micro-batcher timed out")
@@ -247,7 +324,12 @@ class PredictorServer:
                 try:
                     xs = np.concatenate([p.x for p in ps])
                     ms = np.concatenate([p.mask for p in ps])
-                    out = self._predict_now(xs, ms, gating)
+                    # fetch the union of the group's projections; any
+                    # request wanting everything (fields=None) disables it
+                    fields = None
+                    if all(p.fields is not None for p in ps):
+                        fields = set().union(*(p.fields for p in ps))
+                    out = self._predict_now(xs, ms, gating, fields)
                     self.batched_dispatches += 1
                     lo = 0
                     for p in ps:
@@ -320,6 +402,14 @@ class PredictorServer:
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
+            def _send_npz(self, arrays: dict):
+                body = _encode_npz(arrays)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-npz")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
                 if self.path != "/predict":
                     self._send(404, {"error": f"no route {self.path}"})
@@ -327,11 +417,23 @@ class PredictorServer:
                 t0 = time.perf_counter()
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(n) or b"{}")
-                    resp = server.handle_predict(payload)
-                    server._record(len(resp["classes"]),
+                    body = self.rfile.read(n)
+                    ctype = (self.headers.get("Content-Type") or ""
+                             ).split(";")[0].strip().lower()
+                    if ctype in NPZ_CONTENT_TYPES:
+                        payload = _decode_npz_body(body)
+                    else:
+                        payload = json.loads(body or b"{}")
+                    accept = (self.headers.get("Accept") or "").lower()
+                    want_npz = any(t in accept for t in NPZ_CONTENT_TYPES)
+                    arrays = server.handle_predict_arrays(payload)
+                    server._record(int(arrays["classes"].shape[0]),
                                    time.perf_counter() - t0)
-                    self._send(200, resp)
+                    if want_npz:
+                        self._send_npz(arrays)
+                    else:
+                        self._send(200, {k: v.tolist()
+                                         for k, v in arrays.items()})
                 except (ValueError, KeyError, TypeError) as e:
                     # errors count toward requests_total + the latency
                     # histogram too (Prometheus convention: errors_total

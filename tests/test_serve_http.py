@@ -399,3 +399,189 @@ def test_inference_client_roundtrip(server):
         c.predict(np.zeros((1, 5, 5), np.float32))
     assert ei.value.status == 400 and "must be" in str(ei.value)
     assert "sie_tpu_requests_total" in c.metrics()
+
+
+def _post_npz(url, arrays, accept="application/x-npz"):
+    import io
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(
+        url, data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npz", "Accept": accept})
+    try:
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            if "npz" in (r.headers.get("Content-Type") or ""):
+                with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                    return r.status, {k: z[k] for k in z.files}
+            return r.status, json.loads(body)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_predict_npz_binary_roundtrip(server):
+    """npz request + npz response equals the direct Predictor call; the
+    same npz request with a JSON Accept gets a JSON-list body."""
+    base, pred, cfg = server
+    x = np.random.default_rng(11).normal(
+        size=(3, cfg.seq_len, cfg.enc_in)).astype("<f4")
+    code, out = _post_npz(base + "/predict", {"x": x})
+    assert code == 200
+    direct = pred.predict(x)
+    np.testing.assert_allclose(out["logits"], direct.logits, atol=1e-5)
+    np.testing.assert_array_equal(out["classes"], direct.classes)
+    assert "eta" in out and isinstance(out["eta"], np.ndarray)
+    # npz in, JSON out
+    code, jout = _post_npz(base + "/predict", {"x": x}, accept="*/*")
+    assert code == 200 and isinstance(jout["logits"], list)
+    np.testing.assert_allclose(np.asarray(jout["logits"], np.float32),
+                               direct.logits, atol=1e-5)
+    # JSON in, npz out (Accept alone selects the response encoding)
+    req = urllib.request.Request(
+        base + "/predict", data=json.dumps({"x": x.tolist()}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "application/x-npz"})
+    with urllib.request.urlopen(req) as r:
+        assert "npz" in r.headers["Content-Type"]
+
+
+def test_predict_npz_mask_and_gating(server):
+    base, pred, cfg = server
+    x = np.random.default_rng(12).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype("<f4")
+    mask = np.ones((2, cfg.seq_len), np.float32)
+    code, out = _post_npz(base + "/predict",
+                          {"x": x, "padding_mask": mask,
+                           "gating_value": np.float32(0.5)})
+    assert code == 200
+    np.testing.assert_allclose(
+        out["logits"], pred.predict(x, mask, gating_value=0.5).logits,
+        atol=1e-5)
+    # NaN gating encodes JSON null (explicit None override)
+    code, out = _post_npz(base + "/predict",
+                          {"x": x, "gating_value": np.float32(np.nan)})
+    assert code == 200
+    np.testing.assert_allclose(
+        out["logits"], pred.predict(x, gating_value=None).logits, atol=1e-5)
+
+
+def test_predict_npz_errors(server):
+    base, _pred, cfg = server
+    # garbage bytes with the npz content type -> 400, JSON error body
+    req = urllib.request.Request(
+        base + "/predict", data=b"not an npz",
+        headers={"Content-Type": "application/x-npz"})
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "invalid npz" in json.loads(e.read())["error"]
+    # npz without an x key -> 400
+    code, out = _post_npz(base + "/predict",
+                          {"y": np.zeros((1, cfg.seq_len, cfg.enc_in),
+                                         np.float32)})
+    assert code == 400
+
+
+def test_inference_client_npz_encoding(server):
+    from sie_tpu.client import InferenceClient
+    base, pred, cfg = server
+    c = InferenceClient(base, encoding="npz")
+    x = np.random.default_rng(13).normal(
+        size=(4, cfg.seq_len, cfg.enc_in)).astype(np.float32)
+    out = c.predict(x)
+    direct = pred.predict(x)
+    np.testing.assert_allclose(out.logits, direct.logits, atol=1e-5)
+    np.testing.assert_array_equal(out.classes, direct.classes)
+    out2 = c.predict(x, gating_value=None)   # null rides as NaN
+    np.testing.assert_allclose(
+        out2.logits, pred.predict(x, gating_value=None).logits, atol=1e-5)
+
+
+def test_fields_projection(server):
+    """`fields` keeps only the named outputs (+classes) in both codecs."""
+    base, pred, cfg = server
+    x = np.random.default_rng(14).normal(
+        size=(2, cfg.seq_len, cfg.enc_in)).astype("<f4")
+    code, out = _post(base + "/predict",
+                      {"x": x.tolist(), "fields": ["probs"]})
+    assert code == 200 and set(out) == {"probs", "classes"}
+    np.testing.assert_allclose(np.asarray(out["probs"], np.float32),
+                               pred.predict(x).probs, atol=1e-5)
+    code, out = _post_npz(base + "/predict",
+                          {"x": x, "fields": np.asarray(["eta"])})
+    assert code == 200 and set(out) == {"eta", "classes"}
+    # unknown field -> 400 listing the valid names
+    code, err = _post(base + "/predict",
+                      {"x": x.tolist(), "fields": ["nope"]})
+    assert code == 400 and "unknown fields" in err["error"]
+    # client pass-through
+    from sie_tpu.client import InferenceClient
+    out = InferenceClient(base, encoding="npz").predict(
+        x, fields=["probs"])
+    assert out.logits is None and out.eta is None
+    np.testing.assert_allclose(out.probs, pred.predict(x).probs, atol=1e-5)
+    out = InferenceClient(base).predict(x, fields=["logits"])
+    assert out.probs is None
+    np.testing.assert_allclose(out.logits, pred.predict(x).logits,
+                               atol=1e-5)
+
+
+def test_fields_union_through_micro_batcher(server):
+    """Coalesced requests with different `fields` each get their own
+    projection; the batcher fetches the union (one dispatch)."""
+    _base, pred, cfg = server
+    srv = PredictorServer(pred, max_request_rows=16, batch_window_ms=150.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        rng = np.random.default_rng(21)
+        xs = [rng.normal(size=(2, cfg.seq_len, cfg.enc_in)).astype("<f4")
+              for _ in range(3)]
+        _post(base + "/predict", {"x": xs[0].tolist()})   # warm the jit
+        before = srv.batched_dispatches
+        payloads = [
+            {"x": xs[0].tolist(), "fields": ["probs"]},
+            {"x": xs[1].tolist(), "fields": ["eta"]},
+            {"x": xs[2].tolist()},                       # wants everything
+        ]
+        results = [None] * 3
+
+        def hit(i):
+            results[i] = _post(base + "/predict", payloads[i])
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert all(r[0] == 200 for r in results)
+        assert set(results[0][1]) == {"probs", "classes"}
+        assert set(results[1][1]) == {"eta", "classes"}
+        assert "p" in results[2][1] and "logits" in results[2][1]
+        for i in range(3):
+            direct = pred.predict(xs[i])
+            np.testing.assert_array_equal(results[i][1]["classes"],
+                                          direct.classes)
+        np.testing.assert_allclose(
+            np.asarray(results[0][1]["probs"], np.float32),
+            pred.predict(xs[0]).probs, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(results[1][1]["eta"], np.float32),
+            pred.predict(xs[1]).eta, atol=1e-5)
+        assert srv.batched_dispatches - before < 3   # coalescing happened
+        # all-projected window: union fetch drops unrequested tensors but
+        # every request still gets what it asked for
+        results2 = [None] * 2
+        payloads = [{"x": xs[0].tolist(), "fields": ["probs"]},
+                    {"x": xs[1].tolist(), "fields": ["eta"]}]
+
+        def hit2(i):
+            results2[i] = _post(base + "/predict", payloads[i])
+
+        threads = [threading.Thread(target=hit2, args=(i,)) for i in (0, 1)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert set(results2[0][1]) == {"probs", "classes"}
+        assert set(results2[1][1]) == {"eta", "classes"}
+    finally:
+        httpd.shutdown()
