@@ -62,9 +62,13 @@ def bench_decomposition(trainer, state, ds, iters: int = 10) -> dict:
 
         @jax.jit
         def run(x):
-            val, _grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                state.params, x)
-            return x + 1e-20 * val          # serializes the chain
+            val, grads = jax.value_and_grad(loss_fn)(state.params, x)
+            # consume every grad leaf: an unused grads pytree lets XLA
+            # dead-code-eliminate the whole backward pass (r4 bug — the
+            # first published decomposition measured forward-only times)
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree.leaves(grads))
+            return x + 1e-20 * (val + gsum)  # serializes the chain
 
         return run
 
