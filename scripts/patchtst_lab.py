@@ -7,9 +7,13 @@ row: DNN/PatchTST train step, B=64, T=845, C=122 (channel-independent rows
 B*C=7808, patch_num=105), d_model=512, d_ff=2048, e_layers=2, bf16 (amp).
 
 Variants:
-  baseline          current defaults (chunk 2048 + in-chunk remat, fused attn)
+  baseline          current defaults (chunk 2048 + in-chunk remat; at T=105
+                    the fused_min_len=256 auto-gate selects XLA attention)
+  fused             force the Pallas attention kernel (fused_min_len=0) —
+                    the r3 default this lab measured the crossover against
   chunk<k>          patch_chunk_rows=k (k >= 7808 disables chunking AND remat)
-  xla_attn          fused attention kernel off (XLA softmax path at T=105)
+  xla_attn          fused attention kernel off entirely (same program as
+                    baseline at this shape; kept for gate-bypass A/B)
   chunk<k>_xla      both
 
 Usage: python scripts/patchtst_lab.py <variant> [iters]
@@ -34,12 +38,15 @@ def main():
 
     chunk = 0
     fused = True
+    min_len = 256                     # Config default (auto-gate)
     eval_only = False
     for part in variant.split("_"):
         if part.startswith("chunk"):
             chunk = int(part[len("chunk"):])
         elif part == "xla":
             fused = False
+        elif part == "fused":
+            min_len = 0               # bypass the auto-gate: kernel at T=105
         elif part == "eval":
             eval_only = True          # fwd-only inference step (decompose)
         elif part in ("baseline", "attn"):
@@ -57,6 +64,7 @@ def main():
                  d_model=512, d_ff=2048, n_heads=8, e_layers=2,
                  batch_size=BATCH, dropout=0.0, amp=True, seed=0,
                  use_pallas=True, use_fused_attention=fused,
+                 fused_attention_min_len=min_len,
                  patch_chunk_rows=chunk)
     rng = np.random.default_rng(0)
     n = 2 * BATCH

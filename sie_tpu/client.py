@@ -65,6 +65,14 @@ class InferenceClient:
         self.encoding = encoding
 
     # ---- transport -------------------------------------------------------
+    @staticmethod
+    def _raise_server_error(e: urllib.error.HTTPError):
+        try:
+            msg = json.loads(e.read()).get("error", "")
+        except Exception:   # noqa: BLE001 — best-effort error body
+            msg = ""
+        raise ServerError(e.code, msg) from None
+
     def _request(self, path: str, payload: Optional[dict] = None) -> dict:
         url = self.base_url + path
         data = None
@@ -77,11 +85,7 @@ class InferenceClient:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return json.loads(r.read())
         except urllib.error.HTTPError as e:
-            try:
-                msg = json.loads(e.read()).get("error", "")
-            except Exception:   # noqa: BLE001 — best-effort error body
-                msg = ""
-            raise ServerError(e.code, msg) from None
+            self._raise_server_error(e)
 
     # ---- API -------------------------------------------------------------
     def health(self) -> dict:
@@ -119,11 +123,7 @@ class InferenceClient:
                         return {k: z[k] for k in z.files}
                 return json.loads(body)
         except urllib.error.HTTPError as e:
-            try:
-                msg = json.loads(e.read()).get("error", "")
-            except Exception:   # noqa: BLE001 — best-effort error body
-                msg = ""
-            raise ServerError(e.code, msg) from None
+            self._raise_server_error(e)
 
     def predict(self, x: np.ndarray,
                 padding_mask: Optional[np.ndarray] = None,

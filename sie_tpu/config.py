@@ -155,6 +155,10 @@ class Config:
     # 0 = unlimited: T>4096 then streams through the kernel's kv-blocked
     # online-softmax variant (interpret-certified; compiled-path on-chip
     # certification pending — NEXT_STEPS r3)
+    fused_attention_min_len: int = 256  # T below this uses XLA attention:
+    # short-T / huge-BH shapes (PatchTST channel-independent rows) degenerate
+    # into tiny per-(b,h) kernel launches — measured crossover in
+    # docs/BENCH_NOTES.md "PatchTST step closure". 0 = always use the kernel.
     augment: Tuple[str, ...] = ()      # train-time on-device augmentations
     # (data/augment.py; off by default so parity configs are bit-identical):
     # any of 'noise', 'scale', 'chdrop', 'tshift'

@@ -205,6 +205,7 @@ class EncoderLayer(nn.Module):
     use_flash: bool = False
     use_fused: bool = False
     fused_max_len: int = 4096   # threaded to FullAttentionLayer
+    fused_min_len: int = 256    # threaded to FullAttentionLayer
     variant: str = "full"   # full | ds | prob | lsh — swaps the inner
     # attention for a sie_tpu.models.extra variant (beyond-reference
     # wiring: the reference defines these layers but never reaches them)
@@ -232,7 +233,8 @@ class EncoderLayer(nn.Module):
             return LSHAttentionLayer(**kw)
         return FullAttentionLayer(use_flash=self.use_flash,
                                   use_fused=self.use_fused,
-                                  fused_max_len=self.fused_max_len, **kw)
+                                  fused_max_len=self.fused_max_len,
+                                  fused_min_len=self.fused_min_len, **kw)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -274,6 +276,7 @@ class Encoder(nn.Module):
     use_flash: bool = False
     use_fused: bool = False
     fused_max_len: int = 4096
+    fused_min_len: int = 256
     variant: str = "full"
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
@@ -288,7 +291,8 @@ class Encoder(nn.Module):
             x = EncoderLayer(self.d_model, self.d_ff, self.n_heads,
                              self.dropout, self.activation, self.dtype,
                              self.use_flash, self.use_fused,
-                             self.fused_max_len, self.variant,
+                             self.fused_max_len, self.fused_min_len,
+                             self.variant,
                              self.moe_experts, self.moe_capacity_factor,
                              self.moe_top_k, self.moe_aux_weight,
                              name=f"layer_{i}")(x, train=train)

@@ -37,7 +37,8 @@ class _EncoderChunk(nn.Module):
             cfg.dropout, cfg.activation, dtype=cfg.compute_dtype,
             use_flash=cfg.use_flash_attention,
             use_fused=cfg.use_fused_attention,
-            fused_max_len=cfg.fused_attention_max_len, name="encoder")
+            fused_max_len=cfg.fused_attention_max_len,
+            fused_min_len=cfg.fused_attention_min_len, name="encoder")
         return carry, enc(x, self.train)
 
 

@@ -33,6 +33,7 @@ class Transformer(nn.Module):
                     use_flash=cfg.use_flash_attention,
                     use_fused=cfg.use_fused_attention,
                     fused_max_len=cfg.fused_attention_max_len,
+                    fused_min_len=cfg.fused_attention_min_len,
                     variant=cfg.attention_variant,
                     moe_experts=cfg.moe_experts,
                     moe_capacity_factor=cfg.moe_capacity_factor,
@@ -67,6 +68,7 @@ class TransformerForecaster(nn.Module):
                       cfg.dropout, cfg.activation, dtype=dt,
                       use_fused=cfg.use_fused_attention,
                       fused_max_len=cfg.fused_attention_max_len,
+                      fused_min_len=cfg.fused_attention_min_len,
                       name="encoder")(enc, train=train)
         dec = DataEmbedding(cfg.d_model, cfg.embed, cfg.freq, cfg.dropout,
                             dtype=dt, name="dec_embedding")(
@@ -95,6 +97,7 @@ class TransformerImputer(nn.Module):
                     cfg.dropout, cfg.activation, dtype=dt,
                     use_fused=cfg.use_fused_attention,
                     fused_max_len=cfg.fused_attention_max_len,
+                    fused_min_len=cfg.fused_attention_min_len,
                     name="encoder")(h, train=train)
         out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
         return out.astype(jnp.float32)

@@ -158,6 +158,7 @@ def encoder_layer_stage_fn(cfg, rng: Optional[jax.Array] = None,
                          cfg.activation, cfg.compute_dtype,
                          use_flash=False, use_fused=cfg.use_fused_attention,
                          fused_max_len=cfg.fused_attention_max_len,
+                         fused_min_len=cfg.fused_attention_min_len,
                          moe_experts=cfg.moe_experts,
                          moe_capacity_factor=cfg.moe_capacity_factor,
                          moe_top_k=cfg.moe_top_k,

@@ -37,6 +37,17 @@ import torch.nn.functional as F
 from sie_tpu.config import Config
 
 
+def _sinusoidal_pe(n: int, d_model: int) -> torch.Tensor:
+    """Sinusoidal positional table (n, d_model) — reference layers/Embed.py:8-19."""
+    pe = torch.zeros(n, d_model)
+    pos = torch.arange(n).float().unsqueeze(1)
+    div = (torch.arange(0, d_model, 2).float()
+           * -(math.log(10000.0) / d_model)).exp()
+    pe[:, 0::2] = torch.sin(pos * div)
+    pe[:, 1::2] = torch.cos(pos * div)
+    return pe
+
+
 # --------------------------------------------------------------------------
 # ResNet (reference model/ResNet.py:43-83)
 # --------------------------------------------------------------------------
@@ -148,13 +159,8 @@ class TorchTimesNet(nn.Module):
                                    padding_mode="circular", bias=False)
         nn.init.kaiming_normal_(self.tokenConv.weight, mode="fan_in",
                                 nonlinearity="leaky_relu")
-        pe = torch.zeros(cfg.seq_len, cfg.d_model)
-        pos = torch.arange(cfg.seq_len).float().unsqueeze(1)
-        div = (torch.arange(0, cfg.d_model, 2).float()
-               * -(math.log(10000.0) / cfg.d_model)).exp()
-        pe[:, 0::2] = torch.sin(pos * div)
-        pe[:, 1::2] = torch.cos(pos * div)
-        self.register_buffer("pe", pe.unsqueeze(0))
+        self.register_buffer(
+            "pe", _sinusoidal_pe(cfg.seq_len, cfg.d_model).unsqueeze(0))
         self.emb_dropout = nn.Dropout(cfg.dropout)
         self.blocks = nn.ModuleList(_TimesBlock(cfg)
                                     for _ in range(cfg.e_layers))
@@ -186,13 +192,7 @@ class TorchPatchTST(nn.Module):
         self.cfg = cfg
         self.value_embedding = nn.Linear(self.patch_len, cfg.d_model,
                                          bias=False)
-        pe = torch.zeros(5000, cfg.d_model)
-        pos = torch.arange(5000).float().unsqueeze(1)
-        div = (torch.arange(0, cfg.d_model, 2).float()
-               * -(math.log(10000.0) / cfg.d_model)).exp()
-        pe[:, 0::2] = torch.sin(pos * div)
-        pe[:, 1::2] = torch.cos(pos * div)
-        self.register_buffer("pe", pe)
+        self.register_buffer("pe", _sinusoidal_pe(5000, cfg.d_model))
         self.emb_dropout = nn.Dropout(cfg.dropout)
         self.layers = nn.ModuleList(
             _TorchEncoderLayer(cfg.d_model, cfg.n_heads, cfg.d_ff,

@@ -445,14 +445,21 @@ class Predictor:
             xd, md = shard_batch((xd, md), self.mesh)
         logits, info = self._program(bucket, gating_value)(
             self.variables, xd, md)
-        logits = np.asarray(jax.device_get(logits))[:b]
+        wanted = {"logits": logits}
+        for k in self._INFO_FIELDS:
+            a = getattr(info, k)
+            if a is not None and (fields is None or k in fields):
+                wanted[k] = a
+        # one device_get for every materialized output: leaf transfers
+        # overlap inside a single fetch, where per-field fetches would each
+        # pay the full ~30 ms relay round trip serially
+        fetched = jax.device_get(wanted)
+        logits = np.asarray(fetched["logits"])[:b]
         probs = _softmax_probs(logits, self.temperature)
         out = {"logits": logits, "probs": probs,
                "classes": np.argmax(logits, -1)}
         for k in self._INFO_FIELDS:
-            a = getattr(info, k)
-            if a is None or (fields is not None and k not in fields):
-                out[k] = None           # device buffer never fetched
-            else:
-                out[k] = np.asarray(jax.device_get(a))[:b]
+            a = fetched.get(k)
+            # absent => device buffer never fetched
+            out[k] = None if a is None else np.asarray(a)[:b]
         return out
