@@ -282,3 +282,58 @@ def test_gspmd_partitioning(rng):
         fused_attention(a, k, v, seed, 0.25, 0.0) ** 2))(q)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gw),
                                atol=1e-5, rtol=1e-4)
+
+
+class TestFusedMinLenGate:
+    """The short-T auto-gate (fused_min_len, r4): below the measured
+    crossover the layer must dispatch to XLA attention even when
+    use_fused=True, and Config.fused_attention_min_len must reach the
+    layer through every construction path (the r4 review found the lab's
+    fused variants silently measuring XLA twice)."""
+
+    def _apply(self, min_len, t=32):
+        from sie_tpu.models.layers import FullAttentionLayer
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, t, 16)),
+                        jnp.float32)
+        layer = FullAttentionLayer(16, 4, use_fused=True,
+                                   fused_min_len=min_len)
+        v = layer.init(jax.random.key(0), x, x, x)
+        return layer.apply(v, x, x, x)
+
+    def test_gate_flips_dispatch(self):
+        # min_len=0 engages the Pallas kernel (interpret mode on CPU) —
+        # bitwise-different from XLA but numerically equal
+        gated = self._apply(256)    # T=32 < 256 -> XLA path
+        forced = self._apply(0)     # kernel path
+        np.testing.assert_allclose(np.asarray(gated), np.asarray(forced),
+                                   atol=1e-4)
+
+    def test_config_threads_to_encoder(self):
+        # functional check: Config.fused_attention_min_len must reach the
+        # attention layer inside the built Transformer — min_len<=T selects
+        # the Pallas kernel (pallas_call in the jaxpr), the default gate
+        # (256 > T=16) selects XLA; outputs stay numerically equal
+        from sie_tpu.config import Config
+        from sie_tpu.models import build_model
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 16, 3)),
+                        jnp.float32)
+        mask = jnp.ones((2, 16), jnp.float32)
+        outs, jaxprs = [], []
+        for min_len in (7, 256):
+            cfg = Config(model="DNN", dnn_type="Transformer", seq_len=16,
+                         enc_in=3, num_class=2, d_model=16, d_ff=32,
+                         n_heads=4, e_layers=1, use_fused_attention=True,
+                         fused_attention_min_len=min_len)
+            model = build_model(cfg)
+            variables = model.init(jax.random.key(0), x, mask)
+            fwd = lambda xx: model.apply(variables, xx, mask)[0]
+            jaxprs.append(str(jax.make_jaxpr(fwd)(x)))
+            outs.append(np.asarray(fwd(x)))
+        assert "pallas" in jaxprs[0] and "pallas" not in jaxprs[1]
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+
+    def test_cli_flag_reaches_config(self):
+        import run
+        cfg = run.args_to_config(run.get_args(
+            ["--fused_attention_min_len", "0"]), seed=0)
+        assert cfg.fused_attention_min_len == 0
