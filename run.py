@@ -179,6 +179,10 @@ def get_args(argv=None):
                    help="sequence length above which attention falls back "
                         "to XLA (0 = unlimited via the kv-blocked kernel "
                         "variant)")
+    p.add_argument("--scan_epoch", action="store_true",
+                   help="fuse each training epoch into one compiled "
+                        "dispatch (lax.scan over the staged schedule; "
+                        "device-resident input path only)")
     p.add_argument("--fused_attention_min_len", type=int, default=256,
                    help="sequence length below which attention falls back "
                         "to XLA (short-T/huge-BH shapes lose to tiny kernel "

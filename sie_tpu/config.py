@@ -188,6 +188,13 @@ class Config:
     # host RSS stays O(batch); forces the host-feed path with a
     # double-buffered device prefetcher). Beyond-reference: the torch
     # reference materializes every dataset in RAM.
+    scan_epoch: bool = False           # fuse the whole epoch into ONE
+    # compiled dispatch (lax.scan over the HBM-staged step schedule,
+    # trainer.train_epoch_staged) — removes all per-step host involvement.
+    # Device-resident input path only; numerically equivalent to the
+    # per-step staged loop (tests/test_scan_epoch.py). Off by default:
+    # per-step dispatch overhead is ~2 ms through the relay, so this wins
+    # meaningfully only on fast-step models / many-step epochs.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -136,10 +136,19 @@ class Experiment:
                 # (3 buffer uploads/step measured ~7 ms through the relay)
                 steps = list(self.train_loader.epoch_indices(epoch))
                 staged = self.trainer.stage_steps(steps, beta)
-                for k in range(len(steps)):
-                    self.state, loss, _logits = self.trainer.train_step_staged(
-                        self.state, dev_train, staged, k)
-                    losses.append(loss)
+                if cfg.scan_epoch and staged is not None:
+                    # whole epoch in ONE dispatch (trainer.train_epoch_staged);
+                    # losses holds the single (n_steps,) array — ONE host
+                    # fetch at the aggregation below (np.mean flattens it)
+                    self.state, loss_arr = self.trainer.train_epoch_staged(
+                        self.state, dev_train, staged)
+                    losses = [loss_arr]
+                else:
+                    for k in range(len(steps)):
+                        self.state, loss, _logits = \
+                            self.trainer.train_step_staged(
+                                self.state, dev_train, staged, k)
+                        losses.append(loss)
             else:
                 # host feed: a background thread gathers batch k+1 (disk
                 # rows when streaming) and starts its device upload while

@@ -133,6 +133,7 @@ class Trainer:
         self._train_step_idx = None
         self._eval_steps_idx = {}
         self._train_step_staged = None
+        self._train_epoch_staged = None
         self._eval_steps_staged = {}
         self._dev_data = {}
 
@@ -293,6 +294,31 @@ class Trainer:
             self._train_step_staged = jax.jit(step, donate_argnums=(0,))
         ia, wa, beta = staged
         return self._train_step_staged(state, dev_data, ia, wa, beta, k)
+
+    def train_epoch_staged(self, state: TrainState, dev_data, staged):
+        """Whole-epoch fused dispatch (cfg.scan_epoch): lax.scan over the
+        staged (idx, w) schedule runs every step of the epoch in ONE
+        compiled program — zero per-step host involvement (the per-step
+        path still uploads one int scalar and pays one dispatch per step;
+        through the axon relay that is ~2 ms/step, which dominates
+        fast-step models). Numerically equivalent to looping
+        train_step_staged (tests/test_scan_epoch.py). Returns
+        (state, per-step losses (n_steps,)). One compile per distinct
+        steps-per-epoch; the final short epoch of a non-divisible split
+        compiles its own program once."""
+        if self._train_epoch_staged is None:
+            def epoch(state, data, ia, wa, beta):
+                def body(st, sched):
+                    idx, w = sched
+                    x, y, mask = (leaf[idx] for leaf in data)
+                    st, loss, _logits = self._update(st, (x, y, mask, w),
+                                                     beta)
+                    return st, loss
+                return jax.lax.scan(body, state, (ia, wa))
+
+            self._train_epoch_staged = jax.jit(epoch, donate_argnums=(0,))
+        ia, wa, beta = staged
+        return self._train_epoch_staged(state, dev_data, ia, wa, beta)
 
     def eval_step_staged(self, state: TrainState, dev_data, staged, k: int,
                          gating_value=None):
