@@ -249,25 +249,41 @@ class Experiment:
                 dev = self.trainer.device_data(tag, loader.ds)
         steps = list(loader.epoch_indices(0))
         staged = self.trainer.stage_steps(steps) if dev is not None else None
+        scanned = None
+        if staged is not None and self.cfg.scan_epoch:
+            # whole eval pass in ONE dispatch + ONE host fetch
+            # (trainer.eval_epoch_staged_scan); the per-batch path below
+            # pays ~4 device round trips per batch
+            scanned = jax.device_get(self.trainer.eval_epoch_staged_scan(
+                self.state, dev, staged, gating_value=gating_value,
+                collect=collect))
         for bi, batch_idx in enumerate(steps):
             idx, w = batch_idx
             x = loader.ds.x[idx]
             y = loader.ds.y[idx]
-            if dev is not None:
-                logits, info = self.trainer.eval_step_staged(
-                    self.state, dev, staged, bi, gating_value=gating_value)
+            if scanned is not None:
+                logits = np.asarray(scanned[0][bi])
+                ce = np.asarray(scanned[1][bi])
+                model_loss = float(scanned[2][bi])
+                info = (jax.tree.map(lambda a: a[bi], scanned[3])
+                        if collect else None)
             else:
-                batch = (x, y, loader.ds.padding_mask[idx], w)
-                logits, info = self.trainer.eval_step(
-                    self.state, batch, gating_value=gating_value)
-            logits = np.asarray(jax.device_get(logits))
+                if dev is not None:
+                    logits, info = self.trainer.eval_step_staged(
+                        self.state, dev, staged, bi,
+                        gating_value=gating_value)
+                else:
+                    batch = (x, y, loader.ds.padding_mask[idx], w)
+                    logits, info = self.trainer.eval_step(
+                        self.state, batch, gating_value=gating_value)
+                logits = np.asarray(jax.device_get(logits))
+                ce = np.asarray(jax.device_get(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        jax.numpy.asarray(logits), jax.numpy.asarray(y))))
+                model_loss = float(jax.device_get(info.loss).mean()) \
+                    if info.loss is not None else 0.0
             # defensive label filtering (reference exp:906-929)
             keep = (w > 0) & (y >= 0) & (y < num_class)
-            ce = np.asarray(jax.device_get(
-                optax.softmax_cross_entropy_with_integer_labels(
-                    jax.numpy.asarray(logits), jax.numpy.asarray(y))))
-            model_loss = float(jax.device_get(info.loss).mean()) \
-                if info.loss is not None else 0.0
             losses.append(ce[keep] + model_loss)
             preds.append(logits[keep])
             trues.append(y[keep])

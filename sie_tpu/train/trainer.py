@@ -135,6 +135,7 @@ class Trainer:
         self._train_step_staged = None
         self._train_epoch_staged = None
         self._eval_steps_staged = {}
+        self._eval_epochs_scan = {}
         self._dev_data = {}
 
     # ---- state ----------------------------------------------------------
@@ -319,6 +320,39 @@ class Trainer:
             self._train_epoch_staged = jax.jit(epoch, donate_argnums=(0,))
         ia, wa, beta = staged
         return self._train_epoch_staged(state, dev_data, ia, wa, beta)
+
+    def eval_epoch_staged_scan(self, state: TrainState, dev_data, staged,
+                               gating_value=None, collect: bool = False):
+        """Whole-eval-pass fused dispatch (cfg.scan_epoch): scans the staged
+        schedule in ONE compiled program and returns stacked
+        (logits (n,B,C), per-sample CE (n,B), per-batch model loss (n,),
+        stacked ModelInfo or None). The per-batch staged eval path pays a
+        dispatch + a blocking logits fetch + a CE round trip per batch
+        (~4 relay round trips each); here the caller fetches everything
+        with one device_get. CE is computed in-graph on the device labels."""
+        key = (gating_value, bool(collect))
+        if key not in self._eval_epochs_scan:
+            def epoch(state: TrainState, data, ia):
+                def body(carry, idx):
+                    x, y, mask = (leaf[idx] for leaf in data)
+                    variables = {"params": state.params}
+                    if state.batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                    logits, info = state.apply_fn(
+                        variables, x, mask, train=False,
+                        gating_value=gating_value)
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y)
+                    mloss = (jnp.mean(info.loss) if info.loss is not None
+                             else jnp.zeros(()))
+                    return carry, (logits, ce, mloss,
+                                   info if collect else None)
+
+                _, ys = jax.lax.scan(body, None, ia)
+                return ys
+
+            self._eval_epochs_scan[key] = jax.jit(epoch)
+        return self._eval_epochs_scan[key](state, dev_data, staged[0])
 
     def eval_step_staged(self, state: TrainState, dev_data, staged, k: int,
                          gating_value=None):
