@@ -183,6 +183,12 @@ def get_args(argv=None):
                    help="fuse each training epoch into one compiled "
                         "dispatch (lax.scan over the staged schedule; "
                         "device-resident input path only)")
+    p.add_argument("--scan_eval", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run each validation pass as one scanned dispatch "
+                        "+ one host fetch (16x faster than per-batch "
+                        "through a remote-attached TPU; --no-scan_eval "
+                        "restores the per-batch path)")
     p.add_argument("--fused_attention_min_len", type=int, default=256,
                    help="sequence length below which attention falls back "
                         "to XLA (short-T/huge-BH shapes lose to tiny kernel "

@@ -188,13 +188,21 @@ class Config:
     # host RSS stays O(batch); forces the host-feed path with a
     # double-buffered device prefetcher). Beyond-reference: the torch
     # reference materializes every dataset in RAM.
-    scan_epoch: bool = False           # fuse the whole epoch into ONE
-    # compiled dispatch (lax.scan over the HBM-staged step schedule,
+    scan_epoch: bool = False           # fuse the whole TRAINING epoch into
+    # ONE compiled dispatch (lax.scan over the HBM-staged step schedule,
     # trainer.train_epoch_staged) — removes all per-step host involvement.
     # Device-resident input path only; numerically equivalent to the
     # per-step staged loop (tests/test_scan_epoch.py). Off by default:
-    # per-step dispatch overhead is ~2 ms through the relay, so this wins
-    # meaningfully only on fast-step models / many-step epochs.
+    # measured on-chip the staged per-step TRAIN path already pipelines its
+    # one-scalar upload behind compute (24.28 vs 24.52 ms/step on EEGCNN —
+    # BENCH_NOTES "whole-epoch fused dispatch"). Also opts the collect=True
+    # test() pass into the scanned eval (stacks the full ModelInfo — incl.
+    # the (B, 7320) p/d tensors — for every test batch in HBM at once).
+    scan_eval: bool = True             # run each VALIDATION pass as one
+    # scanned dispatch + one host fetch (trainer.eval_epoch_staged_scan).
+    # Default ON: the per-batch eval path pays ~4 blocking device round
+    # trips per batch — measured 85.9 -> 5.3 ms/batch (16.1x) on EEGCNN
+    # through the relay. Numerically equivalent (tests/test_scan_epoch.py).
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

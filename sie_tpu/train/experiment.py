@@ -250,10 +250,15 @@ class Experiment:
         steps = list(loader.epoch_indices(0))
         staged = self.trainer.stage_steps(steps) if dev is not None else None
         scanned = None
-        if staged is not None and self.cfg.scan_epoch:
-            # whole eval pass in ONE dispatch + ONE host fetch
-            # (trainer.eval_epoch_staged_scan); the per-batch path below
-            # pays ~4 device round trips per batch
+        # whole eval pass in ONE dispatch + ONE host fetch
+        # (trainer.eval_epoch_staged_scan); the per-batch path below pays
+        # ~4 blocking device round trips per batch (measured 85.9 -> 5.3
+        # ms/batch on-chip, BENCH_NOTES). Validation (collect=False) scans
+        # by default; the collect=True test() pass stacks the full
+        # ModelInfo in HBM, so it scans only under the explicit
+        # --scan_epoch opt-in.
+        if staged is not None and (self.cfg.scan_epoch
+                                   or (self.cfg.scan_eval and not collect)):
             scanned = jax.device_get(self.trainer.eval_epoch_staged_scan(
                 self.state, dev, staged, gating_value=gating_value,
                 collect=collect))

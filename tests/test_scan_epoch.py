@@ -75,6 +75,7 @@ def test_scan_epoch_experiment_e2e(tmp_path):
                       num_shapelet=2, batch_size=8, train_epochs=3,
                       patience=50, log_interval=100, amp=False,
                       use_pallas=False, seed=0, scan_epoch=flag,
+                      scan_eval=flag,
                       checkpoint_dir=str(tmp_path / name),
                       result_dir=str(tmp_path / name / "res"))
 
