@@ -32,6 +32,8 @@ def main():
     variant = sys.argv[2] if len(sys.argv) > 2 else "loop"
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     n_epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    if n_steps < 1 or n_epochs < 1:
+        raise SystemExit("steps and epochs must be >= 1")
 
     import jax
     from sie_tpu.config import Config

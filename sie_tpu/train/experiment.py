@@ -254,17 +254,21 @@ class Experiment:
         # (trainer.eval_epoch_staged_scan); the per-batch path below pays
         # ~4 blocking device round trips per batch (measured 85.9 -> 5.3
         # ms/batch on-chip, BENCH_NOTES). Validation (collect=False) scans
-        # by default; the collect=True test() pass stacks the full
-        # ModelInfo in HBM, so it scans only under the explicit
-        # --scan_epoch opt-in.
-        if staged is not None and (self.cfg.scan_epoch
-                                   or (self.cfg.scan_eval and not collect)):
+        # iff cfg.scan_eval — --no-scan_eval always restores the per-batch
+        # path, even under --scan_epoch (run.py help contract). The
+        # collect=True test() pass stacks the full ModelInfo in HBM, so it
+        # scans only under the explicit --scan_epoch opt-in.
+        if staged is not None and (self.cfg.scan_epoch if collect
+                                   else self.cfg.scan_eval):
             scanned = jax.device_get(self.trainer.eval_epoch_staged_scan(
                 self.state, dev, staged, gating_value=gating_value,
                 collect=collect))
         for bi, batch_idx in enumerate(steps):
             idx, w = batch_idx
-            x = loader.ds.x[idx]
+            # x is consumed only by the collect buffer and the host-feed
+            # fallback; gathering it unconditionally would pay a multi-MB
+            # numpy fancy-index copy per batch in the scanned hot path
+            x = loader.ds.x[idx] if (collect or dev is None) else None
             y = loader.ds.y[idx]
             if scanned is not None:
                 logits = np.asarray(scanned[0][bi])

@@ -79,6 +79,18 @@ def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
+def _eval_forward(state: "TrainState", x, mask, gating_value=None):
+    """Single source of truth for the eval-mode forward pass — shared by
+    every jitted eval program (per-batch, staged, indexed, and the scanned
+    whole-epoch pass) so the paths certified equivalent by
+    tests/test_scan_epoch.py cannot silently diverge."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return state.apply_fn(variables, x, mask, train=False,
+                          gating_value=gating_value)
+
+
 def make_loss_fn(cfg: Config, apply_fn: Callable,
                  loss_head: Optional[Callable] = None):
     """loss_head(logits, labels, weights) -> scalar; defaults to weighted CE.
@@ -231,12 +243,7 @@ class Trainer:
     def _build_eval_step(self, gating_value=None):
         def step(state: TrainState, batch):
             x, y, mask, w = batch
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            logits, info = state.apply_fn(variables, x, mask, train=False,
-                                          gating_value=gating_value)
-            return logits, info
+            return _eval_forward(state, x, mask, gating_value)
 
         return jax.jit(step)
 
@@ -305,8 +312,9 @@ class Trainer:
         fast-step models). Numerically equivalent to looping
         train_step_staged (tests/test_scan_epoch.py). Returns
         (state, per-step losses (n_steps,)). One compile per distinct
-        steps-per-epoch; the final short epoch of a non-divisible split
-        compiles its own program once."""
+        (n_steps, B) schedule shape; Batcher pads the final batch and
+        yields a fixed step count every epoch, so a given split compiles
+        exactly one program."""
         if self._train_epoch_staged is None:
             def epoch(state, data, ia, wa, beta):
                 def body(st, sched):
@@ -335,12 +343,7 @@ class Trainer:
             def epoch(state: TrainState, data, ia):
                 def body(carry, idx):
                     x, y, mask = (leaf[idx] for leaf in data)
-                    variables = {"params": state.params}
-                    if state.batch_stats:
-                        variables["batch_stats"] = state.batch_stats
-                    logits, info = state.apply_fn(
-                        variables, x, mask, train=False,
-                        gating_value=gating_value)
+                    logits, info = _eval_forward(state, x, mask, gating_value)
                     ce = optax.softmax_cross_entropy_with_integer_labels(
                         logits, y)
                     mloss = (jnp.mean(info.loss) if info.loss is not None
@@ -360,12 +363,7 @@ class Trainer:
             def step(state: TrainState, data, ia, k):
                 idx = ia[k]
                 x, y, mask = (leaf[idx] for leaf in data)
-                variables = {"params": state.params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                logits, info = state.apply_fn(variables, x, mask, train=False,
-                                              gating_value=gating_value)
-                return logits, info
+                return _eval_forward(state, x, mask, gating_value)
 
             self._eval_steps_staged[gating_value] = jax.jit(step)
         ia = staged[0]
@@ -376,12 +374,7 @@ class Trainer:
         if gating_value not in self._eval_steps_idx:
             def step(state: TrainState, data, idx):
                 x, y, mask = (leaf[idx] for leaf in data)
-                variables = {"params": state.params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                logits, info = state.apply_fn(variables, x, mask, train=False,
-                                              gating_value=gating_value)
-                return logits, info
+                return _eval_forward(state, x, mask, gating_value)
 
             self._eval_steps_idx[gating_value] = jax.jit(step)
         return self._eval_steps_idx[gating_value](state, dev_data,

@@ -108,3 +108,32 @@ def test_scan_epoch_experiment_e2e(tmp_path):
     vb = exp_scan.validation()
     assert va[0] == pytest.approx(vb[0], rel=1e-5)
     assert va[1] == pytest.approx(vb[1])
+
+
+def test_no_scan_eval_wins_over_scan_epoch(tmp_path):
+    """run.py contract: --no-scan_eval restores the per-batch validation
+    path even when --scan_epoch is set (the flags gate independent
+    surfaces: scan_epoch = fused train dispatch + scanned collect=True
+    test(); scan_eval = scanned collect=False validation)."""
+    write_synthetic_uea(str(tmp_path / "data"), "Toy", n_train=16, n_test=8,
+                        n_dims=2, length=24, n_classes=2, seed=13)
+    cfg = Config(data="UEA", data_root=str(tmp_path / "data"), dataset="Toy",
+                 model="SBM", num_shapelet=2, batch_size=8, train_epochs=1,
+                 patience=50, log_interval=100, amp=False, use_pallas=False,
+                 seed=0, scan_epoch=True, scan_eval=False,
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 result_dir=str(tmp_path / "ck" / "res"))
+    exp = Experiment(cfg, verbose=False)
+    exp.train()
+    calls = []
+    orig = exp.trainer.eval_epoch_staged_scan
+
+    def spy(*args, **kw):
+        calls.append(bool(kw.get("collect", False)))
+        return orig(*args, **kw)
+
+    exp.trainer.eval_epoch_staged_scan = spy
+    exp.validation()                     # collect=False: must NOT scan
+    assert calls == []
+    exp.test(save_csv=False)             # collect=True: scans (scan_epoch)
+    assert calls == [True]
