@@ -243,30 +243,12 @@ def bench_eegcnn() -> float:
     return BATCH / ((time.perf_counter() - t0) / ITERS)
 
 
-def _backend_alive(timeout_s: int = 300) -> bool:
-    """The axon relay can go down entirely (observed r3: even a tiny matmul +
-    device_get hangs forever at ~0% CPU, inside backend init). Probe it in a
-    subprocess so a dead relay fails this benchmark fast and loudly instead
-    of stalling the driver's round indefinitely. A healthy relay answers the
-    probe in well under a minute; CPU backends answer in seconds."""
-    import subprocess
-    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
-            "print(float(jax.device_get((x @ x).sum())))")
-    try:
-        subprocess.run([sys.executable, "-c", code], check=True,
-                       timeout=timeout_s, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        return True
-    except Exception:  # noqa: BLE001 — timeout or nonzero exit
-        return False
-
-
 def main():
-    if not _backend_alive():
-        print("[bench] backend unreachable (probe matmul timed out) — "
-              "refusing to start; rerun when the TPU relay is back",
-              file=sys.stderr)
-        sys.exit(1)
+    # the axon relay can go down entirely (hangs inside backend init) —
+    # probe it in a subprocess so a dead relay fails this benchmark fast
+    # and loudly instead of stalling the driver's round indefinitely
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what="bench.py")
     collected = {}
     ours = bench_ours(collect=collected)
     baseline = get_baseline()

@@ -180,6 +180,8 @@ def call_pad(kernel, bq, dkp=128, t_pad=T_PAD):
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     variants = sys.argv[1:] or ["v0", "v1", "v2"]
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(BH, T_PAD, DK)), jnp.bfloat16)

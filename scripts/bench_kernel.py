@@ -195,6 +195,8 @@ def bench_per_bank(iters: int):
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     mode = sys.argv[1]
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     if mode == "banks":

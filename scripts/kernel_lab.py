@@ -442,6 +442,8 @@ def sync(v):
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     variant = sys.argv[1]
     bank_i = int(sys.argv[2]) if len(sys.argv) > 2 else -1
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20

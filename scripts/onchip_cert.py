@@ -267,6 +267,8 @@ def cert_ensemble():
 
 
 if __name__ == "__main__":
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     mode = sys.argv[1] if len(sys.argv) > 1 else "blocked"
     {"blocked": cert_blocked, "moe": cert_moe,
      "autoformer": cert_autoformer, "quant": cert_quant,

@@ -33,6 +33,8 @@ SEQ_LEN, ENC_IN, NUM_CLASS, BATCH = 845, 122, 3, 64
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 

@@ -28,6 +28,8 @@ SEQ_LEN, ENC_IN, NUM_CLASS, BATCH = 845, 122, 3, 64
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     model = sys.argv[1] if len(sys.argv) > 1 else "eegcnn"
     variant = sys.argv[2] if len(sys.argv) > 2 else "loop"
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20

@@ -154,6 +154,8 @@ def drive(url: str, rows: int, encoding: str = "json", lean: bool = False):
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     mode = sys.argv[1] if len(sys.argv) > 1 else "f32"
     window_ms = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     out_path = sys.argv[3] if len(sys.argv) > 3 else None

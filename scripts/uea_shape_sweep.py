@@ -62,6 +62,8 @@ def run_one(name, dims, length, classes, use_pallas, batch_size=4):
 
 
 def main():
+    from sie_tpu.utils.relay import require_backend
+    require_backend(what=__file__)  # fail fast if the relay is down
     ap = argparse.ArgumentParser()
     ap.add_argument("--subset", action="store_true")
     ap.add_argument("--out", default=None)
