@@ -90,6 +90,9 @@ def get_args(argv=None):
     # ===== experiment config =====
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--lr_decay", action="store_true")
+    p.add_argument("--lr_warmup_epochs", type=float, default=0.0,
+                   help="TPU-side extension: linear lr warmup over the first "
+                        "N epochs (0 = off, reference behavior)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_clip", type=float, default=0)
     p.add_argument("--batch_size", type=int, default=64)

@@ -77,6 +77,11 @@ class Config:
     # ===== trainer (reference run.py:87-100) =====
     lr: float = 5e-3
     lr_decay: bool = False
+    # TPU-side extension (no reference counterpart): linear lr warmup over
+    # the first N epochs, composable with lr_decay. 0 = off (reference
+    # behavior). Motivated by the r4 39-class cert where the reference
+    # default lr 5e-3 diverges for the Transformer expert (BENCH_NOTES).
+    lr_warmup_epochs: float = 0.0
     gradient_accumulation_steps: int = 1
     gradient_clip: float = 0.0
     batch_size: int = 64

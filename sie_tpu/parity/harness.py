@@ -29,7 +29,9 @@ def make_parity_splits(kind: str = "eeg3", seed: int = 0,
                        ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Class-separable synthetic multivariate series, standardized like the
     UEA whole-set Normalizer. kind='eeg3': 3 classes, C=12, T=120 (a scaled
-    CHISCO shape); kind='uea': 4 classes, C=6, T=100 (a BasicMotions shape).
+    CHISCO shape); kind='uea': 4 classes, C=6, T=100 (a BasicMotions shape);
+    kind='eeg39': 39 classes, C=16, T=160 (the full CHISCO class count at a
+    CPU-tractable scale — the r4 cert's failing regime, VERDICT r4 item 1).
     Raising `noise` (sigma of the additive noise vs unit-amplitude sources)
     pushes accuracy off the 100% ceiling so deltas stay informative in the
     non-saturated regime too."""
@@ -37,10 +39,13 @@ def make_parity_splits(kind: str = "eeg3", seed: int = 0,
         n_class, c, t = 3, 12, 120
     elif kind == "uea":
         n_class, c, t = 4, 6, 100
+    elif kind == "eeg39":
+        n_class, c, t = 39, 16, 160
     else:
         raise ValueError(kind)
     # str hash() is salted per-process; a fixed tag keeps the data reproducible
-    rng = np.random.default_rng((seed, {"eeg3": 3, "uea": 4}[kind]))
+    rng = np.random.default_rng((seed, {"eeg3": 3, "uea": 4,
+                                        "eeg39": 39}[kind]))
     mix = rng.normal(0, 1, (n_class, 3, c))
     freqs = rng.uniform(0.02, 0.3, (n_class, 3))
     tt = np.arange(t)
@@ -314,10 +319,13 @@ def run_regression_parity(model: str, dnn_type: str = "FCN",
 def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
                seeds=(0, 1, 2), epochs: int = 40, batch_size: int = 16,
                overrides: Optional[dict] = None, noise: float = 0.4,
+               n_per_split: Optional[Tuple[int, int, int]] = None,
                verbose: bool = False) -> Dict:
     """A/B one model config across seeds. Returns per-seed accuracies and the
     mean delta (sie_tpu - torch, percentage points)."""
-    splits = make_parity_splits(kind, seed=0, noise=noise)
+    splits = make_parity_splits(kind, seed=0, noise=noise,
+                                **({"n_per_split": n_per_split}
+                                   if n_per_split else {}))
     n_class = int(splits["train"][1].max()) + 1
     t, c = splits["train"][0].shape[1:]
     results = {"torch": [], "sie_tpu": []}
@@ -345,6 +353,7 @@ def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
     head = (overrides or {}).get("sbm_cls")
     return {"model": model, "dnn_type": dnn_type, "kind": kind,
             "noise": noise, "seeds": list(seeds),
+            "lr": (overrides or {}).get("lr", 5e-3),
             "sbm_cls": None if head in (None, "linear") else head,
             "torch_acc": acc_t, "sie_tpu_acc": acc_j,
             "torch_mean": float(np.mean(acc_t)),

@@ -30,6 +30,12 @@ Endpoints:
   a string array in the npz body) keeps only the named output arrays —
   e.g. `["probs"]` drops the (B, 7320) InterpGN p/d interpretability
   tensors a monitoring client never reads. `classes` is always included.
+- server-level default projection (`--default_fields probs`): applied when
+  a request carries NO `fields` key, so naive bulk clients get the lean
+  fast path (measured 2.1x at 32-row bulk, docs/serve_slo_r04.json)
+  without opting in per request. A request overrides the default with its
+  own `fields` list, or asks for everything with `fields: ["all"]` (JSON
+  `fields: null` also means everything).
 
 TPU-serving behavior comes from the Predictor: bucket-padded jit programs
 (ragged request sizes never recompile), chunking above max_batch, optional
@@ -140,9 +146,17 @@ class PredictorServer:
     """Owns the Predictor + a lock; builds the request handler class."""
 
     def __init__(self, predictor: Predictor, max_request_rows: int = 4096,
-                 batch_window_ms: float = 0.0):
+                 batch_window_ms: float = 0.0,
+                 default_fields: Optional[set] = None):
         self.predictor = predictor
         self.max_request_rows = max_request_rows
+        if default_fields is not None:
+            default_fields = {str(f) for f in default_fields}
+            unknown = default_fields - _RESPONSE_FIELDS
+            if unknown:
+                raise ValueError(f"unknown default_fields {sorted(unknown)}; "
+                                 f"valid: {sorted(_RESPONSE_FIELDS)}")
+        self.default_fields = default_fields
         self.lock = threading.Lock()
         self.batch_window = batch_window_ms / 1e3
         self.batched_dispatches = 0     # predict calls made by the batcher
@@ -237,7 +251,11 @@ class PredictorServer:
             raise ValueError("gating_value is baked into StableHLO "
                              "artifacts at export time and cannot be "
                              "overridden per request")
-        fields = payload.get("fields")
+        if "fields" in payload:
+            fields = payload["fields"]          # explicit: overrides default
+        else:
+            fields = (None if self.default_fields is None
+                      else sorted(self.default_fields))
         keep = None
         if fields is not None:
             try:
@@ -245,11 +263,14 @@ class PredictorServer:
             except TypeError:
                 raise ValueError("fields must be a list of strings") \
                     from None
+            if "all" in keep:     # explicit opt-out of the server default
+                keep = None
+        if keep is not None:
             unknown = keep - _RESPONSE_FIELDS
             if unknown:
                 raise ValueError(
                     f"unknown fields {sorted(unknown)}; "
-                    f"valid: {sorted(_RESPONSE_FIELDS)}")
+                    f"valid: {sorted(_RESPONSE_FIELDS)} or ['all']")
             keep.add("classes")   # rows anchor — always present
         if self.batch_window > 0:
             # the batcher fetches the UNION of the window's fields; this
@@ -474,6 +495,13 @@ def main(argv: Optional[list] = None) -> None:
                         " 0 = off)")
     p.add_argument("--warmup", type=int, nargs="*", default=[1, 32],
                    help="batch sizes to pre-compile before accepting traffic")
+    p.add_argument("--default_fields", default="",
+                   help="comma-separated response fields served when a "
+                        "request has no 'fields' key (e.g. 'probs' skips "
+                        "the bulk interpretability-tensor fetch — 2.1x at "
+                        "32-row bulk); empty = serve everything (reference "
+                        "test()-shape parity, exp:848-858). Requests "
+                        "override with their own fields or ['all']")
     args = p.parse_args(argv)
 
     if args.stablehlo:
@@ -485,8 +513,11 @@ def main(argv: Optional[list] = None) -> None:
         if args.warmup:
             predictor.warmup(batch_sizes=tuple(args.warmup))
     src_dir = args.stablehlo or args.bundle
+    default_fields = {t.strip() for t in args.default_fields.split(",")
+                      if t.strip()} or None
     server = PredictorServer(predictor, args.max_request_rows,
-                             batch_window_ms=args.batch_window_ms)
+                             batch_window_ms=args.batch_window_ms,
+                             default_fields=default_fields)
     print(f"serving {src_dir} on http://{args.host}:{args.port}")
     server.serve(args.host, args.port)
 

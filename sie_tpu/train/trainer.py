@@ -52,16 +52,28 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    if cfg.lr_decay:
-        # under MultiSteps the inner adam's count advances once per
-        # accumulation group, so convert the micro-batch steps_per_epoch to
-        # optimizer steps — otherwise the anneal runs k times too slowly
-        accum = max(cfg.gradient_accumulation_steps, 1)
-        opt_steps_per_epoch = max(-(-steps_per_epoch // accum), 1)
+    # under MultiSteps the inner adam's count advances once per
+    # accumulation group, so convert the micro-batch steps_per_epoch to
+    # optimizer steps — otherwise the anneal runs k times too slowly
+    accum = max(cfg.gradient_accumulation_steps, 1)
+    opt_steps_per_epoch = max(-(-steps_per_epoch // accum), 1)
 
-        def schedule(step):
+    if cfg.lr_decay:
+        def base(step):
             epoch = step // opt_steps_per_epoch
             return cfg.lr * 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.train_epochs))
+    else:
+        def base(step):
+            return cfg.lr
+
+    if cfg.lr_warmup_epochs > 0:
+        warmup_steps = max(int(cfg.lr_warmup_epochs * opt_steps_per_epoch), 1)
+
+        def schedule(step):
+            ramp = jnp.minimum((step + 1) / warmup_steps, 1.0)
+            return base(step) * ramp
+    elif cfg.lr_decay:
+        schedule = base
     else:
         schedule = cfg.lr
     chain = []

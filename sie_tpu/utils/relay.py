@@ -21,17 +21,35 @@ _PROBE = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
           "print(float(jax.device_get((x @ x).sum())))")
 
 
+def probe_backend(timeout_s: int = 300):
+    """Run the tiny matmul + device_get probe in a subprocess.
+
+    Returns (alive: bool, detail: str) where detail distinguishes the
+    failure modes — a hung relay (timeout) vs an immediately-crashing
+    probe (nonzero exit, e.g. missing backend plugin), with a stderr tail
+    for the latter — so callers don't misdiagnose a crash as an outage
+    (ADVICE r4)."""
+    try:
+        subprocess.run([sys.executable, "-c", _PROBE], check=True,
+                       timeout=timeout_s, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.PIPE)
+        return True, "ok"
+    except subprocess.TimeoutExpired:
+        return False, f"probe matmul timed out after {timeout_s}s (relay hang)"
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"").decode("utf-8", "replace").strip()
+        tail = tail[-400:] if tail else "<no stderr>"
+        return False, (f"probe subprocess exited rc={e.returncode} "
+                       f"(crash, not a hang); stderr tail: {tail}")
+    except Exception as e:  # noqa: BLE001 — e.g. no python executable
+        return False, f"probe could not launch: {type(e).__name__}: {e}"
+
+
 def backend_alive(timeout_s: int = 300) -> bool:
     """True iff the default jax backend answers a tiny matmul + device_get
     within `timeout_s`. A healthy relay answers in well under a minute
     (first touch pays backend init); CPU backends answer in seconds."""
-    try:
-        subprocess.run([sys.executable, "-c", _PROBE], check=True,
-                       timeout=timeout_s, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        return True
-    except Exception:  # noqa: BLE001 — timeout or nonzero exit
-        return False
+    return probe_backend(timeout_s)[0]
 
 
 def _cpu_forced() -> bool:
@@ -53,8 +71,10 @@ def require_backend(timeout_s: int = 300, what: str = "this run") -> None:
     top of every on-chip driver script BEFORE importing jax in-process."""
     if _cpu_forced():
         return
-    if not backend_alive(timeout_s):
-        print(f"[relay] backend unreachable (probe matmul timed out after "
-              f"{timeout_s}s) — refusing to start {what}; rerun when the "
-              f"TPU relay is back", file=sys.stderr)
+    alive, detail = probe_backend(timeout_s)
+    if not alive:
+        import os
+        print(f"[relay] backend unreachable ({detail}) — refusing to start "
+              f"{os.path.basename(str(what))}; rerun when the TPU relay is "
+              f"back", file=sys.stderr)
         sys.exit(1)

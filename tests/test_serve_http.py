@@ -527,6 +527,44 @@ def test_fields_projection(server):
                                atol=1e-5)
 
 
+def test_default_fields_server_level(server):
+    """--default_fields projects responses for requests with no `fields`
+    key; an explicit request-level `fields` (or ['all'] / JSON null)
+    overrides the server default (VERDICT r4 item 6)."""
+    _base, pred, cfg = server
+    srv = PredictorServer(pred, max_request_rows=16,
+                          default_fields={"probs"})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        x = np.random.default_rng(31).normal(
+            size=(2, cfg.seq_len, cfg.enc_in)).astype("<f4")
+        # naive client: no fields key -> lean default applies
+        code, out = _post(base + "/predict", {"x": x.tolist()})
+        assert code == 200 and set(out) == {"probs", "classes"}
+        # explicit fields overrides the default
+        code, out = _post(base + "/predict",
+                          {"x": x.tolist(), "fields": ["logits"]})
+        assert code == 200 and set(out) == {"logits", "classes"}
+        # ['all'] opts back into everything
+        code, out = _post(base + "/predict",
+                          {"x": x.tolist(), "fields": ["all"]})
+        assert code == 200 and {"logits", "probs", "eta", "p", "d"} <= set(out)
+        # JSON null also means everything
+        code, out = _post(base + "/predict",
+                          {"x": x.tolist(), "fields": None})
+        assert code == 200 and "p" in out and "logits" in out
+        # npz transport honors the default too
+        code, out = _post_npz(base + "/predict", {"x": x})
+        assert code == 200 and set(out) == {"probs", "classes"}
+    finally:
+        httpd.shutdown()
+    # constructor validates names
+    with pytest.raises(ValueError, match="unknown default_fields"):
+        PredictorServer(pred, default_fields={"nope"})
+
+
 def test_fields_union_through_micro_batcher(server):
     """Coalesced requests with different `fields` each get their own
     projection; the batcher fetches the union (one dispatch)."""
