@@ -11,6 +11,8 @@ eventually hits RESOURCE_EXHAUSTED):
   sbm_step    full SBM-only jitted train step
   step        full InterpGN (Transformer) jitted train step
   dnn_step    Transformer-backbone-only jitted train step
+  step_sq / sbm_step_sq   same with --distance_func sqeuclidean (the
+              reference's memory-efficient metric, MXU conv decomposition)
 
 Timing protocol (CLAUDE.md): chain ITERS dependent iterations, force a host
 fetch of a dependent scalar, subtract nothing (fetch ~30 ms amortizes over the
@@ -104,6 +106,13 @@ def bench_model(mode: str, iters: int) -> float:
     from sie_tpu.data.loader import ArrayDataset
     from sie_tpu.train.trainer import Trainer
 
+    # '_sq' suffix: same step with distance_func='sqeuclidean' — the
+    # reference's own memory-efficient distance semantics (Shapelet.py:28),
+    # which decomposes into MXU convs instead of the VPU-bound L1 kernel
+    # (VERDICT r4 item 3: is the MXU path faster than the L1 roofline?)
+    distance_func = "euclidean"
+    if mode.endswith("_sq"):
+        distance_func, mode = "sqeuclidean", mode[:-3]
     model = {"sbm_step": "SBM", "step": "InterpGN"}.get(mode, "DNN")
     e_layers = {"dnn_step0": 0, "dnn_step1": 1}.get(mode, 2)
     dnn = {"timesnet_step": "TimesNet", "patchtst_step": "PatchTST",
@@ -117,7 +126,7 @@ def bench_model(mode: str, iters: int) -> float:
                  num_shapelet=NSH, d_model=d_model, d_ff=d_ff, n_heads=8,
                  e_layers=e_layers, batch_size=BATCH, dropout=0.0, amp=True,
                  use_flash_attention=(mode == "dnn_flash"),
-                 top_k=5, num_kernels=6,
+                 top_k=5, num_kernels=6, distance_func=distance_func,
                  use_pallas=True, seed=0)
     rng = np.random.default_rng(0)
     n = 2 * BATCH
