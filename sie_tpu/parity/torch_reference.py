@@ -51,18 +51,32 @@ def _stride(seq_len: int, length: int) -> int:
 
 
 class TorchShapeletBank(nn.Module):
-    """One shapelet bank (reference Shapelet.py:46-88, euclidean metric)."""
+    """One shapelet bank (reference Shapelet.py:46-88). distance_func
+    'euclidean' is the reference default mean-|diff| (Shapelet.py:74);
+    'sqeuclidean' is the mean-squared-diff the reference computes on its
+    memory_efficient path (Shapelet.py:27-28)."""
 
-    def __init__(self, n: int, c: int, length: int, stride: int, eps: float):
+    def __init__(self, n: int, c: int, length: int, stride: int, eps: float,
+                 distance_func: str = "euclidean"):
         super().__init__()
         self.length, self.stride, self.eps = length, stride, eps
+        if distance_func not in ("euclidean", "sqeuclidean"):
+            raise NotImplementedError(
+                f"torch twin distance_func={distance_func!r}")
+        self.distance_func = distance_func
         self.weights = nn.Parameter(torch.normal(0.0, 1.0, (n, c, length)))
+
+    def _dist(self, win: torch.Tensor) -> torch.Tensor:
+        diff = win - self.weights                        # (B, W, n, C, L)
+        if self.distance_func == "sqeuclidean":
+            return diff.pow(2).mean(-1)
+        return diff.abs().mean(-1)
 
     def forward(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
         # x: instance-normalized (B, C, T)
         win = x.unfold(2, self.length, self.stride)      # (B, C, W, L)
         win = win.permute(0, 2, 1, 3).unsqueeze(2)       # (B, W, 1, C, L)
-        d = (win - self.weights).abs().mean(-1)          # (B, W, n, C)
+        d = self._dist(win)                              # (B, W, n, C)
         p = torch.exp(-(self.eps * d) ** 2)
         # straight-through max over windows (Shapelet.py:79-83)
         hard = torch.zeros_like(p).scatter_(1, p.argmax(1, keepdim=True), 1.0)
@@ -81,7 +95,8 @@ class TorchSBM(nn.Module):
         nums = cfg.num_shapelets_per_bank
         self.banks = nn.ModuleList(
             TorchShapeletBank(nums[i], cfg.enc_in, l,
-                              _stride(cfg.seq_len, l), cfg.epsilon)
+                              _stride(cfg.seq_len, l), cfg.epsilon,
+                              cfg.distance_func)
             for i, l in enumerate(_bank_lengths(cfg)))
         total = sum(n * cfg.enc_in for n in nums)
         self.output_layer = nn.Linear(total, cfg.num_class, bias=False)
@@ -132,14 +147,15 @@ class TorchLTSBank(TorchShapeletBank):
     |U[0,1)| threshold, straight-through argmin over windows,
     p = sigmoid(threshold - min_d)."""
 
-    def __init__(self, n: int, c: int, length: int, stride: int, eps: float):
-        super().__init__(n, c, length, stride, eps)
+    def __init__(self, n: int, c: int, length: int, stride: int, eps: float,
+                 distance_func: str = "euclidean"):
+        super().__init__(n, c, length, stride, eps, distance_func)
         self.threshold = nn.Parameter(torch.rand(1, n, c).abs())
 
     def forward(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
         win = x.unfold(2, self.length, self.stride)      # (B, C, W, L)
         win = win.permute(0, 2, 1, 3).unsqueeze(2)       # (B, W, 1, C, L)
-        d = (win - self.weights).abs().mean(-1)          # (B, W, n, C)
+        d = self._dist(win)                              # (B, W, n, C)
         hard = torch.zeros_like(d).scatter_(1, d.argmin(1, keepdim=True), 1.0)
         soft = torch.softmax(-d, dim=1)                  # softmin
         min_d = ((hard + soft - soft.detach()) * d).sum(1)
@@ -156,7 +172,8 @@ class TorchLTS(TorchSBM):
         nums = cfg.num_shapelets_per_bank
         self.banks = nn.ModuleList(
             TorchLTSBank(nums[i], cfg.enc_in, l,
-                         _stride(cfg.seq_len, l), cfg.epsilon)
+                         _stride(cfg.seq_len, l), cfg.epsilon,
+                         cfg.distance_func)
             for i, l in enumerate(_bank_lengths(cfg)))
 
 
