@@ -152,7 +152,14 @@ class ShapeBottleneckModel(nn.Module):
         stride-1 euclidean banks into one grouped Pallas launch
         (cfg.fuse_short_banks — opt-in, see Config)."""
         cfg = self.config
-        metric = cfg.distance_func if self.variant == "sbm" else "euclidean"
+        # Reference DistThresholdShapelet (Shapelet.py:96-104) has no
+        # cosine/pearson branch — but DOES honor the memory-efficient
+        # (sqeuclidean) path, so LTS keeps sqeuclidean and folds the other
+        # metrics back to the mean-|diff| default.
+        metric = cfg.distance_func
+        if self.variant != "sbm" and metric not in ("euclidean",
+                                                    "sqeuclidean"):
+            metric = "euclidean"
         per_bank = {}
         fuse_idx = []
         if (cfg.fuse_short_banks and metric == "euclidean" and cfg.use_pallas):

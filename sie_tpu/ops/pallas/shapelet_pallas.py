@@ -1,8 +1,18 @@
-"""Pallas TPU kernel for the L1 (mean-absolute) sliding shapelet distance —
-the hot op of the whole framework (SURVEY.md SS3.3: the reference's
-(B, W, n, C, L) broadcast at model/Shapelet.py:61-74).
+"""Pallas TPU kernel for the sliding shapelet distance — the hot op of the
+whole framework (SURVEY.md SS3.3: the reference's (B, W, n, C, L) broadcast at
+model/Shapelet.py:61-74). Two metrics share the kernel (static `metric` switch;
+identical memory movement, only the per-tap VPU op differs):
 
-d[b, n, c, w] = (1/L) * sum_l |x[b, c, w*stride + l] - s[n, c, l]|
+  'euclidean'   d = (1/L) * sum_l |x[b, c, w*stride + l] - s[n, c, l]|
+                (reference default path, Shapelet.py:74)
+  'sqeuclidean' d = (1/L) * sum_l (x[...] - s[...])^2
+                (reference memory-efficient path, Shapelet.py:27-28; backward
+                is (2/L)*g*(s-x), the 2/L folded into g host-side like 1/L.
+                The r5 on-chip measurement of the conv decomposition
+                [x2 - 2xs + s2 via feature_group_count=C depthwise convs,
+                ops/shapelet.py] was 1052 ms for the SBM step vs this
+                kernel's ~93 ms: degenerate per-channel convs never tile
+                onto the MXU, so the VPU kernel wins ~11x.)
 
 Design (round-2 "register-tiled" formulation — 1.7x over the round-1 tiled
 kernels, ~4.1 TFLOP/s effective fp32 = the VPU ALU roofline for the
@@ -91,7 +101,14 @@ def _bwd_l_split(n: int, c: int, l: int) -> tuple[int, int]:
     return ls, n_sub * ls
 
 
-def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
+def _tap_op(metric: str):
+    """Static per-tap accumulate op (the ONLY compute difference between
+    the metrics; all indexing/layout/tiling is shared)."""
+    return jnp.abs if metric == "euclidean" else jnp.square
+
+
+def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int,
+                metric: str = "euclidean"):
     # x_ref: (1, T_pad, C) @ (i, 0, 0) — same block for every j, fetched once
     # per batch row; s_ref: (n, L, C); out_ref: (1, n, WS, C) @ (i, 0, j, 0).
     # x8_ref: persistent VMEM scratch (8, T8, C) of sublane-shifted x copies,
@@ -102,6 +119,7 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
     j = pl.program_id(1)
     t8 = x8_ref.shape[1]
     ck = _TAPS
+    op = _tap_op(metric)
 
     if stride == 1:
         @pl.when(j == 0)
@@ -120,7 +138,7 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
             else:  # interpret-only (compiled path is stride-1, see _l1_fwd)
                 span = (ws - 1) * stride + 1
                 xs = x_ref[0, pl.ds(ws0 * stride + base + k, span), :][::stride]
-            accs = tuple(a + jnp.abs(xs - sch[ni, k])
+            accs = tuple(a + op(xs - sch[ni, k])
                          for ni, a in enumerate(accs))
         return accs
 
@@ -136,13 +154,14 @@ def _fwd_kernel(x_ref, s_ref, out_ref, x8_ref, *, stride: int):
         else:
             span = (ws - 1) * stride + 1
             xs = x_ref[0, pl.ds(ws0 * stride + li, span), :][::stride]
-        accs = tuple(a + jnp.abs(xs - s_ref[ni, li])
+        accs = tuple(a + op(xs - s_ref[ni, li])
                      for ni, a in enumerate(accs))
     out_ref[0] = jnp.stack(accs) * (1.0 / l)
 
 
 def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
-                stride: int, w_total: int, ls: int):
+                stride: int, w_total: int, ls: int,
+                metric: str = "euclidean"):
     # x_ref: (1, T_pad, C); s_ref: (n, L_pad, C); g_ref: (1, n, WT, C);
     # out_ref: (n, L_pad, C) — constant index map, so the block stays
     # VMEM-resident across the whole sequential grid and every program adds
@@ -195,9 +214,15 @@ def _bwd_kernel(x_ref, s_ref, g_ref, out_ref, x8_ref, *,
                     xs = x8_ref[k, pl.ds(w0 + l0 + wb, ls), :]
                 else:  # interpret-only (compiled path is stride-1)
                     xs = x_ref[0, pl.ds((w0 + wb + k) * stride + l0, ls), :]
-                accs = tuple(
-                    a + jnp.where(s_tile[ni] > xs, gk[ni], -gk[ni])
-                    for ni, a in enumerate(accs))
+                if metric == "sqeuclidean":
+                    # d(s-x)^2/ds * g == 2(s-x)g; the 2/L is folded into g
+                    # host-side (_l1_bwd_impl) like the L1 path's 1/L
+                    accs = tuple(a + (s_tile[ni] - xs) * gk[ni]
+                                 for ni, a in enumerate(accs))
+                else:
+                    accs = tuple(
+                        a + jnp.where(s_tile[ni] > xs, gk[ni], -gk[ni])
+                        for ni, a in enumerate(accs))
             return accs
 
         accs = tuple(jnp.zeros((ls, c), jnp.float32) for _ in range(n))
@@ -235,11 +260,12 @@ def _dim_axes(spec, dim):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(stride: int, interpret: bool):
+def _fwd_cp(stride: int, interpret: bool, metric: str = "euclidean"):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    f = custom_partitioning(lambda x, s: _l1_fwd(x, s, stride, interpret))
+    f = custom_partitioning(
+        lambda x, s: _l1_fwd(x, s, stride, interpret, metric))
 
     def partition(mesh, arg_shapes, result_shape):
         # Returned arg shardings must be ones the LOCAL kernel can honor:
@@ -253,7 +279,7 @@ def _fwd_cp(stride: int, interpret: bool):
         sn = ss[0] if len(ss) else None
 
         def lower_fn(x, s):
-            return _l1_fwd(x, s, stride, interpret)
+            return _l1_fwd(x, s, stride, interpret, metric)
         return (mesh, lower_fn,
                 NamedSharding(mesh, P(xb, sn, None, None)),
                 (NamedSharding(mesh, P(xb, None, None)),
@@ -276,12 +302,12 @@ def _fwd_cp(stride: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(stride: int, interpret: bool):
+def _bwd_cp(stride: int, interpret: bool, metric: str = "euclidean"):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def impl(x, s, g):
-        _, grad_s = _l1_bwd_impl(x, s, g, stride, interpret)
+        _, grad_s = _l1_bwd_impl(x, s, g, stride, interpret, metric)
         return grad_s
 
     f = custom_partitioning(impl)
@@ -322,14 +348,17 @@ def _bwd_cp(stride: int, interpret: bool):
     return sequential_vmap(f)   # vmap (ensemble seed axis) support
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def l1_sliding_distance(x: jax.Array, s: jax.Array, stride: int = 1,
-                        interpret: bool | None = None) -> jax.Array:
+                        interpret: bool | None = None,
+                        metric: str = "euclidean") -> jax.Array:
     """x (B, C, T), s (n, C, L) -> d (B, n, C, W) float32. GSPMD-partitionable
-    (custom_partitioning): shard x over B and/or s over n freely."""
+    (custom_partitioning): shard x over B and/or s over n freely. metric
+    'euclidean' (mean |diff|, the name predates the sq variant) or
+    'sqeuclidean' (mean diff^2, reference memory-efficient semantics)."""
     if interpret is None:
         interpret = _interpret_default()
-    return _fwd_cp(stride, interpret)(x, s)
+    return _fwd_cp(stride, interpret, metric)(x, s)
 
 
 def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
@@ -340,7 +369,7 @@ def _padded_x(x: jax.Array, wt: int, stride: int, l: int) -> jax.Array:
     return jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
 
 
-def _l1_fwd(x, s, stride, interpret):
+def _l1_fwd(x, s, stride, interpret, metric="euclidean"):
     if interpret is None:
         interpret = _interpret_default()
     if stride != 1 and not interpret:
@@ -359,7 +388,7 @@ def _l1_fwd(x, s, stride, interpret):
     xt = jnp.pad(xt, ((0, 0), (0, t_pad - t), (0, 0)))
     st = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (n, L, C)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, stride=stride),
+        functools.partial(_fwd_kernel, stride=stride, metric=metric),
         out_shape=jax.ShapeDtypeStruct((b, n, w, c), jnp.float32),
         grid=(b, nws),
         in_specs=[
@@ -388,21 +417,21 @@ def _l1_fwd(x, s, stride, interpret):
     return jnp.swapaxes(out, 2, 3)                       # (B, n, C, W)
 
 
-def _l1_fwd_rule(x, s, stride, interpret):
+def _l1_fwd_rule(x, s, stride, interpret, metric="euclidean"):
     if interpret is None:
         interpret = _interpret_default()
-    return _fwd_cp(stride, interpret)(x, s), (x, s)
+    return _fwd_cp(stride, interpret, metric)(x, s), (x, s)
 
 
-def _l1_bwd_rule(stride, interpret, res, g):
+def _l1_bwd_rule(stride, interpret, metric, res, g):
     x, s = res
     if interpret is None:
         interpret = _interpret_default()
-    grad_s = _bwd_cp(stride, interpret)(x, s, g)
+    grad_s = _bwd_cp(stride, interpret, metric)(x, s, g)
     return jnp.zeros_like(x), grad_s
 
 
-def _l1_bwd_impl(x, s, g, stride, interpret):
+def _l1_bwd_impl(x, s, g, stride, interpret, metric="euclidean"):
     b, c, t = x.shape
     n, _, l = s.shape
     w = g.shape[-1]
@@ -412,14 +441,17 @@ def _l1_bwd_impl(x, s, g, stride, interpret):
     xt = _padded_x(x, wt, stride, l_pad)
     st = jnp.pad(jnp.swapaxes(s.astype(jnp.float32), 1, 2),
                  ((0, 0), (0, l_pad - l), (0, 0)))       # (n, L_pad, C)
-    # 1/L folded into g here (XLA fuses it into the transpose pass)
-    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3) * (1.0 / l)  # (B, n, W, C)
+    # 1/L (2/L for the sq metric) folded into g here (XLA fuses it into the
+    # transpose pass)
+    g_scale = (2.0 if metric == "sqeuclidean" else 1.0) / l
+    gt = jnp.swapaxes(g.astype(jnp.float32), 2, 3) * g_scale    # (B, n, W, C)
     t_pad = xt.shape[1]
     # full-series scratch: the static j==0 fill covers every window tile's
     # reads (see _bwd_kernel's multi-lane-C note)
     t8 = nwt * wt * stride + l_pad + _L_CHUNK
     grad_st = pl.pallas_call(
-        functools.partial(_bwd_kernel, stride=stride, w_total=w, ls=ls),
+        functools.partial(_bwd_kernel, stride=stride, w_total=w, ls=ls,
+                          metric=metric),
         out_shape=jax.ShapeDtypeStruct((n, l_pad, c), jnp.float32),
         grid=(b, nwt),
         in_specs=[

@@ -180,6 +180,17 @@ def sliding_distance(
             return _l1_polyphase(x, s, stride, l1_sliding_distance)
         return _l1_distance(x, s, stride)
     if metric == "sqeuclidean":
+        if use_pallas and _pallas_available():
+            # Same register-tiled kernel as L1 with a diff^2 tap (static
+            # metric switch). The conv decomposition below measured 1052 ms
+            # for the flagship SBM step on-chip vs the kernel's ~93 ms:
+            # feature_group_count=C depthwise convs are degenerate
+            # per-channel dots that never tile onto the MXU.
+            from sie_tpu.ops.pallas.shapelet_pallas import l1_sliding_distance
+            fn = functools.partial(l1_sliding_distance, metric="sqeuclidean")
+            if stride == 1:
+                return fn(x, s, 1)
+            return _l1_polyphase(x, s, stride, fn)
         xs = _depthwise_corr(x, s, stride)                 # Σ x·s
         x2 = _sliding_sum(jnp.square(x), l, stride)        # Σ x²   (B,C,W)
         s2 = jnp.sum(jnp.square(s).astype(jnp.float32), axis=-1)  # (n,C)
@@ -208,8 +219,9 @@ def sliding_distance(
 
 
 def _l1_polyphase(x: jax.Array, s: jax.Array, k: int, stride1_fn) -> jax.Array:
-    """Stride-k L1 sliding distance as a sum of k stride-1 distances over the
-    polyphase components: with l = q*k + r, the window sample x[w*k + l] is
+    """Stride-k sliding distance as a sum of k stride-1 distances over the
+    polyphase components (valid for any per-tap-additive metric — L1 and
+    sqeuclidean both): with l = q*k + r, the window sample x[w*k + l] is
     x_r[w + q] for x_r = x[..., r::k] — so each phase r contributes an
     UNNORMALIZED stride-1 distance between x_r and s_r = s[..., r::k]."""
     _b, _c, t = x.shape

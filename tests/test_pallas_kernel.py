@@ -180,3 +180,96 @@ def test_fuse_short_banks_model_path():
         np.testing.assert_array_equal(np.asarray(info0.d), np.asarray(info1.d))
     finally:
         os.environ.pop("SIE_TPU_PALLAS_INTERPRET", None)
+
+
+# --------------------------------------------------------------------------
+# sqeuclidean metric (round 5): same kernel, diff^2 tap — parity with the
+# reference memory-efficient semantics (Shapelet.py:27-28) and with the MXU
+# conv decomposition it replaces as the default sq path.
+# --------------------------------------------------------------------------
+
+def _naive_sq(x, s, stride):
+    """Direct (B, n, C, W) mean-squared sliding distance, autodiff-able."""
+    b, c, t = x.shape
+    n, _, l = s.shape
+    w = (t - l) // stride + 1
+    wins = jnp.stack([x[:, :, i * stride:i * stride + l]
+                      for i in range(w)], axis=-2)          # (B, C, W, L)
+    diff = wins[:, None] - s[None, :, :, None]              # (B, n, C, W, L)
+    return jnp.mean(jnp.square(diff), axis=-1)
+
+
+@pytest.mark.parametrize("stride", [1])
+def test_pallas_sq_forward_matches_naive(rng, stride):
+    x = jnp.asarray(rng.normal(size=(2, 3, 32)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(4, 3, 6)).astype(np.float32))
+    got = l1_sliding_distance(x, s, stride, True, "sqeuclidean")
+    want = _naive_sq(x, s, stride)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_sq_backward_matches_naive(rng):
+    x = jnp.asarray(rng.normal(size=(2, 2, 24)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(3, 2, 5)).astype(np.float32))
+
+    def loss_pl(sv):
+        return jnp.sum(jnp.sin(
+            l1_sliding_distance(x, sv, 1, True, "sqeuclidean")))
+
+    def loss_naive(sv):
+        return jnp.sum(jnp.sin(_naive_sq(x, sv, 1)))
+
+    g_pl = jax.grad(loss_pl)(s)
+    g_naive = jax.grad(loss_naive)(s)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_naive),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_sq_grad_x_is_zero(rng):
+    """Zero x-grad contract (reference ShapeletDistanceFunc.backward returns
+    zeros for x, Shapelet.py:40) holds for the sq metric too."""
+    x = jnp.asarray(rng.normal(size=(1, 2, 16)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(2, 2, 4)).astype(np.float32))
+    gx = jax.grad(lambda xv: jnp.sum(
+        l1_sliding_distance(xv, s, 1, True, "sqeuclidean")))(x)
+    np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+
+@pytest.mark.parametrize("stride", [1, 3])
+def test_sq_dispatch_pallas_matches_conv_decomposition(rng, stride):
+    """sliding_distance(metric='sqeuclidean', use_pallas=True) — incl. the
+    stride>1 polyphase route — agrees with the conv decomposition fallback."""
+    import os
+    from sie_tpu.ops.shapelet import sliding_distance
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 46)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(3, 3, 9)).astype(np.float32))
+    want = sliding_distance(x, s, stride, "sqeuclidean", use_pallas=False)
+    os.environ["SIE_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        got = sliding_distance(x, s, stride, "sqeuclidean", use_pallas=True)
+    finally:
+        os.environ.pop("SIE_TPU_PALLAS_INTERPRET", None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lts_variant_honors_sqeuclidean(rng):
+    """Reference DistThresholdShapelet honors the memory-efficient metric
+    (Shapelet.py:100-102): LTS distances must differ between euclidean and
+    sqeuclidean configs, and sqeuclidean LTS must equal the sq distances."""
+    from sie_tpu.config import Config
+    from sie_tpu.models.sbm import ShapeBottleneckModel
+
+    kw = dict(data="UEA", dataset="toy", model="SBM", seq_len=40, enc_in=3,
+              num_class=2, num_shapelet=2, shapelet_lengths=(0.2,),
+              amp=False, use_pallas=False, seed=0)
+    x = jnp.asarray(rng.normal(size=(2, 40, 3)), jnp.float32)
+    m_eu = ShapeBottleneckModel(Config(**kw), variant="lts")
+    m_sq = ShapeBottleneckModel(Config(distance_func="sqeuclidean", **kw),
+                                variant="lts")
+    v = m_eu.init(jax.random.key(0), x)
+    _, info_eu = m_eu.apply(v, x)
+    _, info_sq = m_sq.apply(v, x)
+    assert not np.allclose(np.asarray(info_eu.d), np.asarray(info_sq.d))
