@@ -10,10 +10,13 @@ requests per request-size bucket (1 / 8 / 32 rows), after a warmup compile of
 each bucket. `window` variants add --batch_window_ms micro-batching.
 
 Usage: python scripts/serve_slo.py {f32,int8,aot} [window_ms] [out.json]
-                                   [encoding: json|b64|npz] [all|lean]
+                                   [encoding: json|b64|npz] [all|lean|default]
 
 `lean` adds `fields: ["probs"]` response projection (drops the (B, 7320)
-InterpGN p/d interpretability tensors from the response).
+InterpGN p/d interpretability tensors from the response). `default` starts
+the SERVER with default_fields={"probs"} and drives it with a NAIVE client
+that sends no fields at all — measuring what an unmodified bulk client gets
+once the operator sets the r5 server-level default (VERDICT r4 weak-7).
 
 `encoding` selects the request/response transport (default json — nested
 float lists, the human-debuggable path). `b64` uses the x_b64 fast path
@@ -160,14 +163,19 @@ def main():
     window_ms = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     encoding = sys.argv[4] if len(sys.argv) > 4 else "json"
-    lean = len(sys.argv) > 5 and sys.argv[5] == "lean"
+    fields_mode = sys.argv[5] if len(sys.argv) > 5 else "all"
+    if fields_mode not in ("all", "lean", "default"):
+        raise SystemExit(f"unknown fields mode {fields_mode!r}")
+    lean = fields_mode == "lean"
 
     from sie_tpu.serve_http import PredictorServer
 
     print(f"[slo] building {mode} predictor ...", file=sys.stderr, flush=True)
     pred = build_predictor(mode)
     srv = PredictorServer(pred, max_request_rows=4096,
-                          batch_window_ms=window_ms)
+                          batch_window_ms=window_ms,
+                          default_fields={"probs"}
+                          if fields_mode == "default" else None)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -178,7 +186,7 @@ def main():
               file=sys.stderr, flush=True)
         r = drive(url, rows, encoding, lean)
         r.update(mode=mode, window_ms=window_ms, encoding=encoding,
-                 fields="lean" if lean else "all")
+                 fields=fields_mode)
         results.append(r)
         print(json.dumps(r), flush=True)
     httpd.shutdown()

@@ -1,22 +1,34 @@
 #!/usr/bin/env python
-"""Per-dataset UEA accuracy A/B on learnable synthetics (VERDICT r3 item 8).
+"""Per-dataset UEA accuracy A/B on learnable synthetics (VERDICT r3 item 8,
+de-saturated per VERDICT r4 item 2).
 
 Extends the shape sweep (scripts/uea_shape_sweep.py, 1-epoch smoke) to
 TRAINED accuracy vs the reference-faithful torch twin: for a representative
-subset of UEA shapes — including the memory-flagged regimes run_uea.sh:14-45
-calls out (PEMS-SF C=963, MotorImagery T=3000 = the stride-rule boundary,
-EigenWorms T=17984 deep in the log2-stride regime) — generate class-separable
-synthetic archives at the dataset's published (C, T, classes), train
-InterpGN+FCN (the run_uea.sh default config) on IDENTICAL data and batch
-schedules in both frameworks, and compare converged test accuracy.
+subset of UEA shapes — including the memory-flagged regimes run_uea.sh:14-49
+calls out (PEMS-SF C=963, DuckDuckGeese C=1345, MotorImagery T=3000 = the
+stride-rule boundary, EigenWorms T=17984 deep in the log2-stride regime) —
+generate class-separable synthetic archives at the dataset's published
+(C, T, classes), train InterpGN+FCN (the run_uea.sh default config) on
+IDENTICAL data and batch schedules in both frameworks, and compare converged
+test accuracy.
+
+r5 de-saturation: per-dataset noise is CALIBRATED with torch-only probes so
+the torch side lands in the [60%, 92%] band (ceiling-pinned rows cannot
+detect a dynamics mismatch — VERDICT r4 weak-2); the accepted probe doubles
+as the seed-0 torch result (identical protocol). PEMS-SF runs a PINNED
+learnable config (n_train=56, 20 epochs, noise 0.6 -> torch 57.1% measured)
+fixing the r4 floor-pinned 28.57%=28.57% row. The two giant stride-regime
+rows (MotorImagery, EigenWorms: >1.5h/train on this 1-core host) can be
+retained from a prior artifact via --keep-giant.
 
 Both sides run f32 on CPU (the certification is about TRAINING SEMANTICS,
 not hardware): sie_tpu uses the scan fallback (use_pallas=False), whose
 equality with the Pallas kernel is certified separately
 (tests/test_pallas_kernel.py + the on-chip UEA sweep, docs/UEA_SWEEP_r03.md).
 
-Writes docs/UEA_ACCURACY_AB.md + docs/uea_accuracy_ab.json.
+Writes docs/UEA_ACCURACY_AB.md + docs/uea_accuracy_ab.json incrementally.
 Usage: python scripts/uea_accuracy_ab.py [--quick] [--only NAME]
+       [--keep-giant PRIOR_JSON]
 """
 
 from __future__ import annotations
@@ -36,17 +48,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")   # CPU A/B; relay-independent
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JSON_PATH = os.path.join(REPO, "docs", "uea_accuracy_ab.json")
+MD_PATH = os.path.join(REPO, "docs", "UEA_ACCURACY_AB.md")
 
-# name -> (seeds, n_train): the giant shapes get 1 seed / smaller sets to
-# keep the torch side (unfold-broadcast distance) tractable on this host
+BAND = (60.0, 92.0)
+
+# name -> dict(seeds, n_train, epochs, noise, calibrate):
+# noise is the calibration start (calibrate=True) or pinned (False).
+# The giant shapes get 1 seed / smaller sets to keep the torch side
+# (unfold-broadcast distance) tractable on this 1-core host.
 SUBSET = {
-    "BasicMotions": (2, 64),
-    "SpokenArabicDigits": (2, 64),
-    "Heartbeat": (2, 64),
-    "SelfRegulationSCP2": (1, 48),
-    "PEMS-SF": (1, 32),
-    "MotorImagery": (1, 32),
-    "EigenWorms": (1, 24),
+    "BasicMotions": dict(seeds=2, n_train=64, epochs=12, noise=1.8,
+                         calibrate=True),
+    "SpokenArabicDigits": dict(seeds=2, n_train=64, epochs=12, noise=1.8,
+                               calibrate=True),
+    "Heartbeat": dict(seeds=2, n_train=64, epochs=12, noise=1.8,
+                      calibrate=True),
+    "SelfRegulationSCP2": dict(seeds=1, n_train=48, epochs=12, noise=1.8,
+                               calibrate=True),
+    # learnable wide-C config measured r5 (/tmp probe: torch 57.1%)
+    "PEMS-SF": dict(seeds=1, n_train=56, epochs=20, noise=0.6,
+                    calibrate=False),
+    # the 4th memory-flagged dataset (run_uea.sh:47-49), C=1345
+    "DuckDuckGeese": dict(seeds=1, n_train=40, epochs=20, noise=0.6,
+                          calibrate=False),
+    "MotorImagery": dict(seeds=1, n_train=32, epochs=12, noise=0.6,
+                         calibrate=False, giant=True),
+    "EigenWorms": dict(seeds=1, n_train=24, epochs=12, noise=0.6,
+                       calibrate=False, giant=True),
 }
 
 
@@ -82,38 +111,89 @@ def make_shaped_splits(n_class: int, c: int, t: int, seed: int,
             for k, (x, y) in splits.items()}
 
 
-def run_dataset(name: str, quick: bool):
+def _make_cfg(name, c, t, n_class, seed, epochs, batch_size):
     from sie_tpu.config import Config
+    return Config(data="UEA", dataset=f"ab-{name}", model="InterpGN",
+                  dnn_type="FCN", seq_len=t, enc_in=c, num_class=n_class,
+                  num_shapelet=2, lambda_div=0.1, lambda_reg=0.1,
+                  epsilon=1.0, batch_size=batch_size, train_epochs=epochs,
+                  patience=max(8, epochs // 2), lr=5e-3, amp=False,
+                  dropout=0.0, use_pallas=False, seed=seed,
+                  beta_schedule="cosine", log_interval=1000)
+
+
+def _train_torch(name, c, t, n_class, seed, n_train, epochs, batch_size,
+                 noise):
+    from sie_tpu.parity.harness import make_batch_schedule
+    from sie_tpu.parity.torch_reference import train_torch_reference
+    splits = make_shaped_splits(n_class, c, t, seed, n_train, noise)
+    cfg = _make_cfg(name, c, t, n_class, seed, epochs, batch_size)
+    sched = make_batch_schedule(n_train, batch_size, epochs, seed)
+    return train_torch_reference(cfg, splits, sched)
+
+
+def calibrate(name, c, t, n_class, spec, batch_size, max_probes=3):
+    """Walk noise until the torch probe (seed 0) lands in BAND. Returns
+    (noise, history, seed0_torch_result_at_accepted_noise_or_None)."""
+    lo, hi = BAND
+    noise = spec["noise"]
+    history = []
+    step = 1.6
+    best = None
+    for _ in range(max_probes):
+        rt = _train_torch(name, c, t, n_class, 0, spec["n_train"],
+                          spec["epochs"], batch_size, noise)
+        acc = float(rt["test_accuracy"])
+        history.append({"noise": noise, "torch_acc": acc})
+        print(f"   [calib {name}] noise={noise:.2f} -> torch {acc:.1f}%",
+              flush=True)
+        if lo <= acc <= hi:
+            return noise, history, rt
+        best = (noise, rt) if best is None or \
+            abs(acc - 0.5 * (lo + hi)) < \
+            abs(best[1]["test_accuracy"] - 0.5 * (lo + hi)) else best
+        noise = noise * step if acc > hi else max(0.1, noise / step)
+        step = 1.0 + (step - 1.0) * 0.6
+    return best[0], history, best[1]
+
+
+def run_dataset(name: str, quick: bool):
     from sie_tpu.data.uea import UEA_DATASET_SHAPES
     from sie_tpu.parity.harness import make_batch_schedule, train_sie_tpu
-    from sie_tpu.parity.torch_reference import train_torch_reference
 
     c, t, n_class = UEA_DATASET_SHAPES[name]
-    n_seeds, n_train = SUBSET[name]
-    if quick:
-        n_seeds = 1
-    epochs = 6 if quick else 12
+    spec = SUBSET[name]
+    n_seeds = 1 if quick else spec["seeds"]
+    epochs = 6 if quick else spec["epochs"]
     batch_size = 8
-    acc_t, acc_j = [], []
     t0 = time.time()
+
+    torch0 = None
+    if spec.get("calibrate") and not quick:
+        noise, history, torch0 = calibrate(name, c, t, n_class, spec,
+                                           batch_size)
+    else:
+        noise, history = spec["noise"], [{"noise_pinned": spec["noise"]}]
+
+    acc_t, acc_j = [], []
     for seed in range(n_seeds):
-        splits = make_shaped_splits(n_class, c, t, seed, n_train)
-        cfg = Config(data="UEA", dataset=f"ab-{name}", model="InterpGN",
-                     dnn_type="FCN", seq_len=t, enc_in=c, num_class=n_class,
-                     num_shapelet=2, lambda_div=0.1, lambda_reg=0.1,
-                     epsilon=1.0, batch_size=batch_size, train_epochs=epochs,
-                     patience=max(8, epochs // 2), lr=5e-3, amp=False,
-                     dropout=0.0, use_pallas=False, seed=seed,
-                     beta_schedule="cosine", log_interval=1000)
-        sched = make_batch_schedule(n_train, batch_size, epochs, seed)
-        rt = train_torch_reference(cfg, splits, sched)
+        splits = make_shaped_splits(n_class, c, t, seed, spec["n_train"],
+                                    noise)
+        cfg = _make_cfg(name, c, t, n_class, seed, epochs, batch_size)
+        sched = make_batch_schedule(spec["n_train"], batch_size, epochs, seed)
+        if seed == 0 and torch0 is not None:
+            rt = torch0    # the accepted probe IS the seed-0 torch run
+        else:
+            from sie_tpu.parity.torch_reference import train_torch_reference
+            rt = train_torch_reference(cfg, splits, sched)
         rj = train_sie_tpu(cfg, splits, sched)
         acc_t.append(rt["test_accuracy"])
         acc_j.append(rj["test_accuracy"])
         print(f"  [seed {seed}] torch {rt['test_accuracy']:.2f}% "
               f"sie_tpu {rj['test_accuracy']:.2f}%", flush=True)
     return {"dataset": name, "C": c, "T": t, "classes": n_class,
-            "seeds": n_seeds, "n_train": n_train, "epochs": epochs,
+            "seeds": n_seeds, "n_train": spec["n_train"], "epochs": epochs,
+            "noise": noise, "calibration": history,
             "stride_regime": "log2(L)" if t >= 3000 else "1",
             "torch_mean": float(np.mean(acc_t)),
             "sie_tpu_mean": float(np.mean(acc_j)),
@@ -121,22 +201,8 @@ def run_dataset(name: str, quick: bool):
             "seconds": round(time.time() - t0, 1)}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", type=str, default=None)
-    args = ap.parse_args()
-    names = [args.only] if args.only else list(SUBSET)
-    rows = []
-    for name in names:
-        print(f"== {name} ==", flush=True)
-        rows.append(run_dataset(name, args.quick))
-        print(f"   torch {rows[-1]['torch_mean']:.2f}% vs sie_tpu "
-              f"{rows[-1]['sie_tpu_mean']:.2f}% "
-              f"(delta {rows[-1]['delta_pts']:+.2f}, "
-              f"{rows[-1]['seconds']}s)", flush=True)
-
-    with open(os.path.join(REPO, "docs", "uea_accuracy_ab.json"), "w") as f:
+def _dump(rows):
+    with open(JSON_PATH, "w") as f:
         json.dump(rows, f, indent=1)
     lines = [
         "# Per-dataset UEA accuracy A/B: sie_tpu vs torch twin "
@@ -145,25 +211,72 @@ def main():
         "Class-separable synthetic archives at each dataset's published",
         "(C, T, classes); InterpGN+FCN (the run_uea.sh defaults scaled to",
         "k=2 shapelets), identical data + per-epoch batch schedules, f32",
-        "both sides. Accuracies are converged test means over the seeds",
-        "(weight inits necessarily differ between PRNGs). MotorImagery sits",
+        "both sides. Per-dataset noise calibrated with torch-only probes so",
+        f"the torch side lands in [{BAND[0]:.0f}%, {BAND[1]:.0f}%]"
+        " (no ceiling-pinned rows); PEMS-SF and",
+        "DuckDuckGeese (the wide-C predicate regimes) run pinned LEARNABLE",
+        "configs fixing the r4 floor-pinned PEMS-SF row. MotorImagery sits",
         "exactly at the T>=3000 stride-rule boundary; EigenWorms exercises",
-        "the deep log2(L)-stride regime; PEMS-SF the C=963 predicate width.",
+        "the deep log2(L)-stride regime (rows marked r4 are retained",
+        "saturated rows: >1.5h/train on this host — execution evidence,",
+        "not dynamics-sensitive).",
         "",
-        "| dataset | C | T | cls | stride | seeds | torch acc % | "
+        "| dataset | C | T | cls | stride | seeds | noise | torch acc % | "
         "sie_tpu acc % | delta (pts) |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        tagname = r["dataset"] + (" (r4)" if r.get("kept_r4") else "")
         lines.append(
-            f"| {r['dataset']} | {r['C']} | {r['T']} | {r['classes']} | "
-            f"{r['stride_regime']} | {r['seeds']} | {r['torch_mean']:.2f} | "
+            f"| {tagname} | {r['C']} | {r['T']} | {r['classes']} | "
+            f"{r['stride_regime']} | {r['seeds']} | "
+            f"{r.get('noise', 0.6):.2f} | {r['torch_mean']:.2f} | "
             f"{r['sie_tpu_mean']:.2f} | {r['delta_pts']:+.2f} |")
-    worst = max(abs(r["delta_pts"]) for r in rows)
-    lines += ["", f"Worst |delta| = {worst:.2f} pts.", ""]
-    with open(os.path.join(REPO, "docs", "UEA_ACCURACY_AB.md"), "w") as f:
+    fresh = [r for r in rows if not r.get("kept_r4")]
+    if fresh:
+        worst = max(abs(r["delta_pts"]) for r in fresh)
+        lines += ["", f"Worst |delta| over the {len(fresh)} de-saturated "
+                      f"rows = {worst:.2f} pts.", ""]
+    with open(MD_PATH, "w") as f:
         f.write("\n".join(lines))
-    print(f"worst |delta| = {worst:.2f} pts")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--keep-giant", type=str, default=None, metavar="JSON",
+                    help="prior uea_accuracy_ab.json: retain its MotorImagery"
+                         "/EigenWorms rows instead of retraining them")
+    args = ap.parse_args()
+    names = [args.only] if args.only else list(SUBSET)
+
+    kept = {}
+    if args.keep_giant:
+        with open(args.keep_giant) as f:
+            for r in json.load(f):
+                if SUBSET.get(r["dataset"], {}).get("giant"):
+                    r["kept_r4"] = True
+                    kept[r["dataset"]] = r
+
+    rows = []
+    for name in names:
+        if name in kept:
+            rows.append(kept[name])
+            _dump(rows)
+            print(f"== {name}: kept from {args.keep_giant}", flush=True)
+            continue
+        print(f"== {name} ==", flush=True)
+        rows.append(run_dataset(name, args.quick))
+        print(f"   torch {rows[-1]['torch_mean']:.2f}% vs sie_tpu "
+              f"{rows[-1]['sie_tpu_mean']:.2f}% "
+              f"(delta {rows[-1]['delta_pts']:+.2f}, "
+              f"{rows[-1]['seconds']}s)", flush=True)
+        _dump(rows)
+    fresh = [r for r in rows if not r.get("kept_r4")]
+    if fresh:
+        print(f"worst fresh |delta| = "
+              f"{max(abs(r['delta_pts']) for r in fresh):.2f} pts")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,13 @@ from flax import linen as nn
 
 from sie_tpu.config import Config
 from sie_tpu.models.info import ModelInfo
-from sie_tpu.models.layers import BatchNorm, TorchTransformerEncoderLayer, sinusoidal_embedding
+from sie_tpu.models.layers import (
+    BatchNorm,
+    TorchTransformerEncoderLayer,
+    sinusoidal_embedding,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 
 class EEGcnn(nn.Module):
@@ -41,11 +47,12 @@ class EEGcnn(nn.Module):
 
         # x: (B, C, T) -> NHWC image (B, H=C, W=T, 1)
         h = x[..., None].astype(dt)
+        ki = dict(kernel_init=torch_default_kernel_init())
         h = nn.Conv(f1, (1, cfg.eegcnn_kernel1), padding="SAME", use_bias=False,
-                    dtype=dt, name="block1_conv1")(h)
+                    dtype=dt, name="block1_conv1", **ki)(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="block1_bn1")(h)
         h = nn.Conv(d * f1, (chans, 1), padding="VALID", feature_group_count=f1,
-                    use_bias=False, dtype=dt, name="block1_depthwise")(h)
+                    use_bias=False, dtype=dt, name="block1_depthwise", **ki)(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="block1_bn2")(h)
         h = jax.nn.elu(h)
         h = nn.avg_pool(h, (1, cfg.eegcnn_pool1), strides=(1, cfg.eegcnn_pool1))
@@ -53,8 +60,9 @@ class EEGcnn(nn.Module):
 
         h = nn.Conv(d * f1, (1, cfg.eegcnn_kernel2), padding="SAME",
                     feature_group_count=d * f1, use_bias=False, dtype=dt,
-                    name="block2_conv1")(h)
-        h = nn.Conv(f2, (1, 1), use_bias=False, dtype=dt, name="block2_conv2")(h)
+                    name="block2_conv1", **ki)(h)
+        h = nn.Conv(f2, (1, 1), use_bias=False, dtype=dt, name="block2_conv2",
+                    **ki)(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="block2_bn")(h)
         h = jax.nn.elu(h)
         h = nn.avg_pool(h, (1, cfg.eegcnn_pool2), strides=(1, cfg.eegcnn_pool2))
@@ -101,7 +109,9 @@ class EEGCNNTransformer(nn.Module):
         if cfg.eegcnn_layers > 0:
             d_model = f2 if cfg.d_model is None else cfg.d_model
             if d_model != f2:
-                h = nn.Dense(d_model, dtype=dt, name="cnn_projection")(h)
+                h = nn.Dense(d_model, dtype=dt, name="cnn_projection",
+                             kernel_init=torch_default_kernel_init(),
+                             bias_init=torch_default_bias_init(f2))(h)
             pe = jnp.asarray(sinusoidal_embedding(t_red, d_model), dtype=h.dtype)
             h = nn.Dropout(cfg.eegcnn_dropout2)(h + pe[None],
                                                 deterministic=not train)
@@ -124,6 +134,8 @@ class EEGCNNTransformer(nn.Module):
         else:
             raise ValueError(f"unsupported pooling {pool!r}")
 
-        logits = nn.Dense(cfg.num_class, dtype=dt, name="classifier")(h)
+        logits = nn.Dense(cfg.num_class, dtype=dt, name="classifier",
+                          kernel_init=torch_default_kernel_init(),
+                          bias_init=torch_default_bias_init(h.shape[-1]))(h)
         logits = logits.astype(jnp.float32)
         return logits, ModelInfo(preds=logits, loss=jnp.zeros((1,), jnp.float32))

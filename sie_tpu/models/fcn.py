@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sie_tpu.config import Config
-from sie_tpu.models.layers import BatchNorm
+from sie_tpu.models.layers import (BatchNorm, torch_default_bias_init,
+                                   torch_default_kernel_init)
 
 
 class FullyConvNetwork(nn.Module):
@@ -25,10 +26,14 @@ class FullyConvNetwork(nn.Module):
         feats = (128, 256, 128)
         h = x.astype(dt)  # (B, T, C): conv over time, channels last
         for i, (k, f) in enumerate(zip(kernels, feats)):
-            h = nn.Conv(f, (k,), padding="VALID", dtype=dt, name=f"conv{i+1}")(h)
+            h = nn.Conv(f, (k,), padding="VALID", dtype=dt, name=f"conv{i+1}",
+                        kernel_init=torch_default_kernel_init(),
+                        bias_init=torch_default_bias_init(k * h.shape[-1]))(h)
             h = BatchNorm(use_running_average=not train, dtype=dt,
                           name=f"bn{i+1}")(h)
             h = jax.nn.relu(h)
         h = jnp.mean(h, axis=1)  # AdaptiveAvgPool1d(1)
-        out = nn.Dense(cfg.num_class, dtype=dt, name="fc")(h)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="fc",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(h.shape[-1]))(h)
         return out.astype(jnp.float32)

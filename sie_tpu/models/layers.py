@@ -72,6 +72,7 @@ class DataEmbedding(nn.Module):
         if x_mark is not None:
             freq_map = {"h": 4, "t": 5, "s": 6, "m": 1, "a": 1, "w": 2, "d": 3, "b": 3}
             mark = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                            kernel_init=torch_default_kernel_init(),
                             name="temporal_embedding")(x_mark[..., :freq_map[self.freq]])
             out = out + mark
         return nn.Dropout(self.dropout)(out, deterministic=not train)
@@ -136,7 +137,12 @@ class FullAttentionLayer(nn.Module):
     def __call__(self, q_in, k_in, v_in, *, train: bool = False):
         h = self.n_heads
         dk = self.d_model // h
-        dense = lambda name: nn.Dense(dk * h, dtype=self.dtype, name=name)
+        # reference AttentionLayer projections are plain nn.Linear
+        # (SelfAttention_Family.py:185-191) -> torch default init
+        tl = dict(kernel_init=torch_default_kernel_init(),
+                  bias_init=torch_default_bias_init(self.d_model))
+        dense = lambda name: nn.Dense(dk * h, dtype=self.dtype, name=name,
+                                      **tl)
         q = dense("query")(q_in).reshape(*q_in.shape[:2], h, dk)
         k = dense("key")(k_in).reshape(*k_in.shape[:2], h, dk)
         v = dense("value")(v_in).reshape(*v_in.shape[:2], h, dk)
@@ -190,7 +196,9 @@ class FullAttentionLayer(nn.Module):
             out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
         out = out.reshape(*q_in.shape[:2], h * dk).astype(self.dtype)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out",
+                        kernel_init=torch_default_kernel_init(),
+                        bias_init=torch_default_bias_init(h * dk))(out)
 
 
 class EncoderLayer(nn.Module):
@@ -256,10 +264,16 @@ class EncoderLayer(nn.Module):
             y = drop(y)
         else:
             act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
-            y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype,
-                                  name="conv1")(y)))
-            y = drop(nn.Dense(self.d_model, dtype=self.dtype,
-                              name="conv2")(y))
+            # reference FFN is Conv1d(k=1) pairs (Transformer_EncDec.py:31-32)
+            # -> torch Conv1d default init, fan_in = in_channels
+            y = drop(act(nn.Dense(
+                self.d_ff, dtype=self.dtype, name="conv1",
+                kernel_init=torch_default_kernel_init(),
+                bias_init=torch_default_bias_init(self.d_model))(y)))
+            y = drop(nn.Dense(
+                self.d_model, dtype=self.dtype, name="conv2",
+                kernel_init=torch_default_kernel_init(),
+                bias_init=torch_default_bias_init(self.d_ff))(y))
         return nn.LayerNorm(name="norm2")(x + y)
 
 
@@ -313,6 +327,8 @@ class ConvLayer(nn.Module):
         # torch circular padding=2 both sides, then VALID k=3 -> T+2 steps
         xp = jnp.concatenate([x[:, -2:, :], x, x[:, :2, :]], axis=1)
         h = nn.Conv(self.d_model, (3,), padding="VALID", dtype=self.dtype,
+                    kernel_init=torch_default_kernel_init(),
+                    bias_init=torch_default_bias_init(3 * self.d_model),
                     name="downConv")(xp)
         h = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="norm")(h)
@@ -349,8 +365,14 @@ class DecoderLayer(nn.Module):
         x = y = nn.LayerNorm(name="norm2")(
             x + drop(cross_attn(x, cross, cross, train=train)))
         act = jax.nn.relu if self.activation == "relu" else jax.nn.gelu
-        y = drop(act(nn.Dense(self.d_ff, dtype=self.dtype, name="conv1")(y)))
-        y = drop(nn.Dense(self.d_model, dtype=self.dtype, name="conv2")(y))
+        y = drop(act(nn.Dense(
+            self.d_ff, dtype=self.dtype, name="conv1",
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(self.d_model))(y)))
+        y = drop(nn.Dense(
+            self.d_model, dtype=self.dtype, name="conv2",
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(self.d_ff))(y))
         return nn.LayerNorm(name="norm3")(x + y)
 
 
@@ -374,12 +396,36 @@ class Decoder(nn.Module):
                              self.dropout, self.activation, self.dtype,
                              name=f"layer_{i}")(x, cross, train=train)
         x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(self.c_out, dtype=self.dtype, name="projection")(x)
+        return nn.Dense(self.c_out, dtype=self.dtype, name="projection",
+                        kernel_init=torch_default_kernel_init(),
+                        bias_init=torch_default_bias_init(self.d_model))(x)
+
+
+def torch_default_kernel_init():
+    """torch nn.Linear / nn.Conv*d default weight init: kaiming_uniform(a=sqrt(5))
+    = U(-1/sqrt(fan_in), 1/sqrt(fan_in)), variance 1/(3*fan_in). flax's
+    lecun_normal default has 3x the variance; the difference is a measurable
+    convergence-dynamics gap on BN-less layers (docs/PARITY_DESAT.md r5)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_default_bias_init(fan_in: int):
+    """torch nn.Linear / nn.Conv*d default bias init: U(-1/sqrt(fan_in), ...)."""
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class TorchTransformerEncoderLayer(nn.Module):
     """Parity with torch.nn.TransformerEncoderLayer defaults (post-norm, ReLU FFN)
-    for the EEGCNN head (reference model/eegcnn.py:219-228)."""
+    for the EEGCNN head (reference model/eegcnn.py:219-228).
+
+    Init parity (torch MultiheadAttention._reset_parameters + Linear defaults):
+    q/k/v = xavier_uniform with zero bias; out_proj weight = Linear default
+    with zero bias; linear1/linear2 = Linear defaults incl. the uniform bias."""
 
     d_model: int
     n_heads: int
@@ -392,9 +438,13 @@ class TorchTransformerEncoderLayer(nn.Module):
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         h = self.n_heads
         dk = self.d_model // h
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(self.d_model, dtype=self.dtype, name="v")(x)
+        qkv = dict(kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)
+        lin = lambda fan: dict(kernel_init=torch_default_kernel_init(),
+                               bias_init=torch_default_bias_init(fan),
+                               dtype=self.dtype)
+        q = nn.Dense(self.d_model, name="q", **qkv)(x)
+        k = nn.Dense(self.d_model, name="k", **qkv)(x)
+        v = nn.Dense(self.d_model, name="v", **qkv)(x)
         split = lambda z: z.reshape(*z.shape[:2], h, dk)
         scores = jnp.einsum("blhe,bshe->bhls", split(q), split(k),
                             preferred_element_type=jnp.float32) / math.sqrt(dk)
@@ -407,11 +457,12 @@ class TorchTransformerEncoderLayer(nn.Module):
         out = jnp.einsum("bhls,bshd->blhd", a.astype(v.dtype), split(v),
                          preferred_element_type=jnp.float32)
         out = out.reshape(x.shape).astype(self.dtype)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj",
+                       kernel_init=torch_default_kernel_init())(out)
         x = nn.LayerNorm(name="norm1")(x + drop(out))
-        y = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
+        y = nn.Dense(self.d_ff, name="linear1", **lin(self.d_model))(x)
         y = drop(jax.nn.relu(y))
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        y = nn.Dense(self.d_model, name="linear2", **lin(self.d_ff))(y)
         return nn.LayerNorm(name="norm2")(x + drop(y))
 
 

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sie_tpu.config import Config
-from sie_tpu.models.layers import Encoder, sinusoidal_embedding
+from sie_tpu.models.layers import (Encoder, sinusoidal_embedding,
+                                   torch_default_bias_init,
+                                   torch_default_kernel_init)
 from sie_tpu.models.timesnet import masked_ns_norm, ns_norm
 
 
@@ -71,6 +73,7 @@ class _PatchBase(nn.Module):
         patches = patches.reshape(b * c, patch_num, self.patch_len)
 
         h = nn.Dense(cfg.d_model, use_bias=False, dtype=dt,
+                     kernel_init=torch_default_kernel_init(),
                      name="value_embedding")(patches.astype(dt))
         pe = jnp.asarray(sinusoidal_embedding(patch_num, cfg.d_model), dtype=h.dtype)
         h = nn.Dropout(cfg.dropout)(h + pe[None], deterministic=not train)
@@ -111,7 +114,9 @@ class _PatchBase(nn.Module):
         cfg = self.config
         b, c, p, d = h.shape
         hf = jnp.swapaxes(h, 2, 3).reshape(b, c, d * p)
-        out = nn.Dense(target_window, dtype=cfg.compute_dtype, name="head")(hf)
+        out = nn.Dense(target_window, dtype=cfg.compute_dtype, name="head",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(d * p))(hf)
         out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
         return jnp.transpose(out, (0, 2, 1)).astype(jnp.float32)
 
@@ -135,7 +140,9 @@ class PatchTST(_PatchBase):
         # imported/exported projection weights line up index-for-index
         h = jnp.swapaxes(h, 2, 3).reshape(b, -1)
         h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
-        out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(h.shape[-1]))(h)
         return out.astype(jnp.float32)
 
 

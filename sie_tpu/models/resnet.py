@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sie_tpu.config import Config
-from sie_tpu.models.layers import BatchNorm
+from sie_tpu.models.layers import (BatchNorm, torch_default_bias_init,
+                                   torch_default_kernel_init)
 
 
 class BasicBlock(nn.Module):
@@ -28,15 +29,18 @@ class BasicBlock(nn.Module):
         identity = x
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1,), strides=(self.stride,),
-                               use_bias=False, dtype=dt, name="short_conv")(x)
+                               use_bias=False, dtype=dt, name="short_conv",
+                               kernel_init=torch_default_kernel_init())(x)
             identity = BatchNorm(use_running_average=not train, dtype=dt,
                                  name="short_bn")(identity)
         h = nn.Conv(self.features, (3,), strides=(self.stride,), padding="SAME",
-                    use_bias=False, dtype=dt, name="conv1")(x)
+                    use_bias=False, dtype=dt, name="conv1",
+                    kernel_init=torch_default_kernel_init())(x)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(h)
         h = jax.nn.relu(h)
         h = nn.Conv(self.features, (3,), padding="SAME", use_bias=False,
-                    dtype=dt, name="conv2")(h)
+                    dtype=dt, name="conv2",
+                    kernel_init=torch_default_kernel_init())(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="bn2")(h)
         return jax.nn.relu(h + identity)
 
@@ -53,12 +57,15 @@ class ResNet(nn.Module):
         # alignment (reference ResNet.py:48,51); SAME keeps the same output
         # length but shifts the stride-2 windows by one at even lengths
         h = nn.Conv(64, (7,), strides=(2,), padding=((3, 3),), use_bias=False,
-                    dtype=dt, name="conv1")(h)
+                    dtype=dt, name="conv1",
+                    kernel_init=torch_default_kernel_init())(h)
         h = BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(h)
         h = jax.nn.relu(h)
         h = nn.max_pool(h, (3,), strides=(2,), padding=((1, 1),))
         for i, f in enumerate((64, 128, 128)):
             h = BasicBlock(f, 1, dt, name=f"layer{i+1}")(h, train=train)
         h = jnp.mean(h, axis=1)
-        out = nn.Dense(cfg.num_class, dtype=dt, name="fc")(h)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="fc",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(h.shape[-1]))(h)
         return out.astype(jnp.float32)

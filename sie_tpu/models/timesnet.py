@@ -24,7 +24,8 @@ import numpy as np
 from flax import linen as nn
 
 from sie_tpu.config import Config
-from sie_tpu.models.layers import DataEmbedding
+from sie_tpu.models.layers import (DataEmbedding, torch_default_bias_init,
+                                   torch_default_kernel_init)
 
 
 
@@ -212,7 +213,9 @@ class TimesNet(nn.Module):
         if padding_mask is not None:
             h = h * padding_mask.astype(h.dtype)[..., None]
         h = h.reshape(h.shape[0], -1)
-        out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(h.shape[-1]))(h)
         return out.astype(jnp.float32)
 
 
@@ -235,10 +238,14 @@ class TimesNetForecaster(nn.Module):
             xz.astype(dt), x_mark_enc, train=train)
         h = jnp.swapaxes(h, 1, 2)
         h = nn.Dense(cfg.seq_len + cfg.pred_len, dtype=dt,
+                     kernel_init=torch_default_kernel_init(),
+                     bias_init=torch_default_bias_init(cfg.seq_len),
                      name="predict_linear")(h)
         h = jnp.swapaxes(h, 1, 2)
         h = _times_blocks(cfg, h, train)
-        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(cfg.d_model))(h)
         out = out.astype(jnp.float32) * std + mean
         return out[:, -cfg.pred_len:, :]
 
@@ -260,7 +267,9 @@ class TimesNetImputer(nn.Module):
                           dtype=dt, name="enc_embedding")(
             xz.astype(dt), x_mark_enc, train=train)
         h = _times_blocks(cfg, h, train)
-        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(cfg.d_model))(h)
         return out.astype(jnp.float32) * std + mean
 
 
@@ -279,5 +288,7 @@ class TimesNetAnomalyDetector(nn.Module):
                           dtype=dt, name="enc_embedding")(
             xz.astype(dt), None, train=train)
         h = _times_blocks(cfg, h, train)
-        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(cfg.d_model))(h)
         return out.astype(jnp.float32) * std + mean

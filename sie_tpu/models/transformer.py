@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sie_tpu.config import Config
-from sie_tpu.models.layers import DataEmbedding, Decoder, Encoder
+from sie_tpu.models.layers import (DataEmbedding, Decoder, Encoder,
+                                   torch_default_bias_init,
+                                   torch_default_kernel_init)
 
 
 class Transformer(nn.Module):
@@ -45,7 +47,9 @@ class Transformer(nn.Module):
         if padding_mask is not None:
             h = h * padding_mask.astype(h.dtype)[..., None]
         h = h.reshape(h.shape[0], -1)
-        out = nn.Dense(cfg.num_class, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.num_class, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(h.shape[-1]))(h)
         return out.astype(jnp.float32)
 
 
@@ -99,7 +103,9 @@ class TransformerImputer(nn.Module):
                     fused_max_len=cfg.fused_attention_max_len,
                     fused_min_len=cfg.fused_attention_min_len,
                     name="encoder")(h, train=train)
-        out = nn.Dense(cfg.c_out, dtype=dt, name="projection")(h)
+        out = nn.Dense(cfg.c_out, dtype=dt, name="projection",
+                       kernel_init=torch_default_kernel_init(),
+                       bias_init=torch_default_bias_init(cfg.d_model))(h)
         return out.astype(jnp.float32)
 
 

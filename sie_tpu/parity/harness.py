@@ -271,9 +271,12 @@ def run_regression_parity(model: str, dnn_type: str = "FCN",
                           seeds=(0, 1, 2), epochs: int = 40,
                           batch_size: int = 16,
                           overrides: Optional[dict] = None,
-                          noise: float = 0.4, verbose: bool = False) -> Dict:
+                          noise: float = 0.4, verbose: bool = False,
+                          torch_cache: Optional[Dict[int, dict]] = None
+                          ) -> Dict:
     """CRPS-training A/B on identical synthetic regression data (VERDICT r3
-    item 1, matching exp/experiment_regression.py:59-207)."""
+    item 1, matching exp/experiment_regression.py:59-207). torch_cache: see
+    run_parity."""
     splits, bin_edges = make_regression_splits(seed=0, noise=noise)
     t, c = splits["train"][0].shape[1:]
     results = {"torch": [], "sie_tpu": []}
@@ -290,9 +293,11 @@ def run_regression_parity(model: str, dnn_type: str = "FCN",
         cfg = Config(**kw)
         sched = make_batch_schedule(len(splits["train"][0]), cfg.batch_size,
                                     cfg.train_epochs, seed)
-        from sie_tpu.parity.torch_reference import train_torch_regression
-        rt = train_torch_regression(cfg, splits, bin_edges, sched,
-                                    verbose=verbose)
+        rt = (torch_cache or {}).get(seed)
+        if rt is None:
+            from sie_tpu.parity.torch_reference import train_torch_regression
+            rt = train_torch_regression(cfg, splits, bin_edges, sched,
+                                        verbose=verbose)
         rj = train_sie_tpu_regression(cfg, splits, bin_edges, sched,
                                       verbose=verbose)
         results["torch"].append(rt)
@@ -320,9 +325,15 @@ def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
                seeds=(0, 1, 2), epochs: int = 40, batch_size: int = 16,
                overrides: Optional[dict] = None, noise: float = 0.4,
                n_per_split: Optional[Tuple[int, int, int]] = None,
-               verbose: bool = False) -> Dict:
+               verbose: bool = False,
+               torch_cache: Optional[Dict[int, dict]] = None) -> Dict:
     """A/B one model config across seeds. Returns per-seed accuracies and the
-    mean delta (sie_tpu - torch, percentage points)."""
+    mean delta (sie_tpu - torch, percentage points).
+
+    torch_cache: {seed: prior torch per-seed result} from an earlier run at
+    the SAME (kind, noise, epochs, batch_size, overrides) — the torch side is
+    deterministic in those, so a JAX-side-only change (e.g. init parity) can
+    reuse it instead of retraining the slow unfold-distance twin."""
     splits = make_parity_splits(kind, seed=0, noise=noise,
                                 **({"n_per_split": n_per_split}
                                    if n_per_split else {}))
@@ -340,8 +351,10 @@ def run_parity(model: str, dnn_type: str = "FCN", kind: str = "eeg3",
         cfg = Config(**kw)
         sched = make_batch_schedule(len(splits["train"][0]), cfg.batch_size,
                                     cfg.train_epochs, seed)
-        from sie_tpu.parity.torch_reference import train_torch_reference
-        rt = train_torch_reference(cfg, splits, sched, verbose=verbose)
+        rt = (torch_cache or {}).get(seed)
+        if rt is None:
+            from sie_tpu.parity.torch_reference import train_torch_reference
+            rt = train_torch_reference(cfg, splits, sched, verbose=verbose)
         rj = train_sie_tpu(cfg, splits, sched, verbose=verbose)
         results["torch"].append(rt)
         results["sie_tpu"].append(rj)
