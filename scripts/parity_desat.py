@@ -128,7 +128,7 @@ def _row_key(r: dict) -> tuple:
     kind = r.get("kind", "reg")
     return (r["model"], r["dnn_type"], "reg" if kind == "regression" else kind,
             r.get("sbm_cls") or None,
-            r.get("distance_func", "euclidean"))
+            r.get("distance_func") or "euclidean")
 
 
 def _cfg_key(cfgkw: dict) -> tuple:
