@@ -10,13 +10,19 @@ requests per request-size bucket (1 / 8 / 32 rows), after a warmup compile of
 each bucket. `window` variants add --batch_window_ms micro-batching.
 
 Usage: python scripts/serve_slo.py {f32,int8,aot} [window_ms] [out.json]
-                                   [encoding: json|b64|npz] [all|lean|default]
+                                   [encoding: json|b64|npz] [all|lean|default|paired]
 
 `lean` adds `fields: ["probs"]` response projection (drops the (B, 7320)
 InterpGN p/d interpretability tensors from the response). `default` starts
 the SERVER with default_fields={"probs"} and drives it with a NAIVE client
 that sends no fields at all — measuring what an unmodified bulk client gets
 once the operator sets the r5 server-level default (VERDICT r4 weak-7).
+`paired` also starts the server with default_fields={"probs"} but each
+client thread ALTERNATES naive and `fields: ["all"]` requests, so both
+arms sample the same relay minutes: measured r5, inter-slot relay drift
+(26-42 rows/s at the 32-row bucket across back-to-back one-mode runs) is
+larger than the lean-vs-all contrast, so only a within-window paired
+design resolves the default-fields speedup.
 
 `encoding` selects the request/response transport (default json — nested
 float lists, the human-debuggable path). `b64` uses the x_b64 fast path
@@ -81,10 +87,11 @@ def build_predictor(mode: str):
 
 
 def _build_request(url: str, x: np.ndarray, encoding: str,
-                   lean: bool = False):
+                   lean: bool = False, fields=None):
     import base64
     import io
-    fields = ["probs"] if lean else None
+    if fields is None:
+        fields = ["probs"] if lean else None
     if encoding == "json":
         payload = {"x": x.tolist()}
         if fields:
@@ -156,6 +163,62 @@ def drive(url: str, rows: int, encoding: str = "json", lean: bool = False):
     }
 
 
+def drive_paired(url: str, rows: int, encoding: str = "npz"):
+    """Within-window contrast: every client thread alternates a NAIVE
+    request (no fields key; the server's default_fields={'probs'} applies)
+    and an explicit fields=['all'] request, so both arms sample identical
+    relay minutes. Returns (naive_row, all_row, ratio)."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(rows, SEQ_LEN, ENC_IN)).astype("<f4")
+    req_naive = _build_request(url, x, encoding)
+    req_all = _build_request(url, x, encoding, fields=["all"])
+
+    for req in (req_naive, req_all):          # warm both response shapes
+        for _ in range(2):
+            urllib.request.urlopen(req, timeout=600).read()
+
+    lat = {"naive": [], "all": []}
+    lock = threading.Lock()
+
+    def client():
+        my = {"naive": _build_request(url, x, encoding),
+              "all": _build_request(url, x, encoding, fields=["all"])}
+        for i in range(2 * REQS):
+            arm = "naive" if i % 2 == 0 else "all"
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(my[arm], timeout=600) as r:
+                r.read()
+            dt = time.perf_counter() - t0
+            with lock:
+                lat[arm].append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    out = []
+    for arm in ("naive", "all"):
+        a = np.sort(np.asarray(lat[arm]))
+        n = len(a)
+        out.append({
+            "rows_per_request": rows, "requests": n, "concurrency": CLIENTS,
+            "p50_ms": round(1e3 * float(a[n // 2]), 1),
+            "p99_ms": round(1e3 * float(a[min(n - 1, int(0.99 * n))]), 1),
+            "mean_ms": round(1e3 * float(a.mean()), 1),
+            # both arms share the wall clock; throughput is per-arm rows
+            # over the SHARED wall (the arms ran interleaved)
+            "throughput_rows_per_s": round(n * rows / wall, 1),
+            "arm": arm, "paired": True,
+        })
+    naive, allf = out
+    ratio = round(allf["mean_ms"] / naive["mean_ms"], 2)
+    return naive, allf, ratio
+
+
 def main():
     from sie_tpu.utils.relay import require_backend
     require_backend(what=__file__)  # fail fast if the relay is down
@@ -164,7 +227,7 @@ def main():
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     encoding = sys.argv[4] if len(sys.argv) > 4 else "json"
     fields_mode = sys.argv[5] if len(sys.argv) > 5 else "all"
-    if fields_mode not in ("all", "lean", "default"):
+    if fields_mode not in ("all", "lean", "default", "paired"):
         raise SystemExit(f"unknown fields mode {fields_mode!r}")
     lean = fields_mode == "lean"
 
@@ -175,7 +238,7 @@ def main():
     srv = PredictorServer(pred, max_request_rows=4096,
                           batch_window_ms=window_ms,
                           default_fields={"probs"}
-                          if fields_mode == "default" else None)
+                          if fields_mode in ("default", "paired") else None)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -184,6 +247,14 @@ def main():
     for rows in BUCKETS:
         print(f"[slo] {mode}/{encoding} rows={rows}: warm + drive ...",
               file=sys.stderr, flush=True)
+        if fields_mode == "paired":
+            naive, allf, ratio = drive_paired(url, rows, encoding)
+            for r in (naive, allf):
+                r.update(mode=mode, window_ms=window_ms, encoding=encoding,
+                         fields=fields_mode, all_over_naive_mean=ratio)
+                results.append(r)
+                print(json.dumps(r), flush=True)
+            continue
         r = drive(url, rows, encoding, lean)
         r.update(mode=mode, window_ms=window_ms, encoding=encoding,
                  fields=fields_mode)
