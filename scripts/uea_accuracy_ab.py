@@ -132,7 +132,7 @@ def _train_torch(name, c, t, n_class, seed, n_train, epochs, batch_size,
     return train_torch_reference(cfg, splits, sched)
 
 
-def calibrate(name, c, t, n_class, spec, batch_size, max_probes=3):
+def calibrate(name, c, t, n_class, spec, batch_size, max_probes=5):
     """Walk noise until the torch probe (seed 0) lands in BAND. Returns
     (noise, history, seed0_torch_result_at_accepted_noise_or_None)."""
     lo, hi = BAND
@@ -140,6 +140,7 @@ def calibrate(name, c, t, n_class, spec, batch_size, max_probes=3):
     history = []
     step = 1.6
     best = None
+    last_dir = None
     for _ in range(max_probes):
         rt = _train_torch(name, c, t, n_class, 0, spec["n_train"],
                           spec["epochs"], batch_size, noise)
@@ -152,8 +153,16 @@ def calibrate(name, c, t, n_class, spec, batch_size, max_probes=3):
         best = (noise, rt) if best is None or \
             abs(acc - 0.5 * (lo + hi)) < \
             abs(best[1]["test_accuracy"] - 0.5 * (lo + hi)) else best
+        # full geometric steps while still pinned on one side of the band;
+        # shrink only once a probe lands on the OTHER side (bracketed) —
+        # wide-C sets average i.i.d. channel noise down and can need noise
+        # several x the start before accuracy moves at all (Heartbeat C=61
+        # stayed at 100% through 3 damped probes in the first r5 run)
+        direction = "up" if acc > hi else "down"   # up = raise noise
+        if last_dir is not None and direction != last_dir:
+            step = 1.0 + (step - 1.0) * 0.5
+        last_dir = direction
         noise = noise * step if acc > hi else max(0.1, noise / step)
-        step = 1.0 + (step - 1.0) * 0.6
     return best[0], history, best[1]
 
 
@@ -202,6 +211,9 @@ def run_dataset(name: str, quick: bool):
 
 
 def _dump(rows):
+    order = list(SUBSET)
+    rows = sorted(rows, key=lambda r: (order.index(r["dataset"])
+                                       if r["dataset"] in order else 99))
     with open(JSON_PATH, "w") as f:
         json.dump(rows, f, indent=1)
     lines = [
@@ -248,8 +260,20 @@ def main():
     ap.add_argument("--keep-giant", type=str, default=None, metavar="JSON",
                     help="prior uea_accuracy_ab.json: retain its MotorImagery"
                          "/EigenWorms rows instead of retraining them")
+    ap.add_argument("--merge", type=str, default=None, metavar="JSON",
+                    help="prior artifact: preload ALL its rows; fresh runs "
+                         "replace same-name rows in place (lets --only "
+                         "re-calibrate one pinned row without clobbering "
+                         "the rest)")
+    ap.add_argument("--noise", type=float, default=None,
+                    help="override the SUBSET start/pinned noise for the "
+                         "--only dataset")
     args = ap.parse_args()
     names = [args.only] if args.only else list(SUBSET)
+    if args.noise is not None:
+        if not args.only:
+            raise SystemExit("--noise requires --only")
+        SUBSET[args.only] = dict(SUBSET[args.only], noise=args.noise)
 
     kept = {}
     if args.keep_giant:
@@ -260,6 +284,9 @@ def main():
                     kept[r["dataset"]] = r
 
     rows = []
+    if args.merge:
+        with open(args.merge) as f:
+            rows = [r for r in json.load(f) if r["dataset"] not in names]
     for name in names:
         if name in kept:
             rows.append(kept[name])
