@@ -268,12 +268,20 @@ def main():
     ap.add_argument("--noise", type=float, default=None,
                     help="override the SUBSET start/pinned noise for the "
                          "--only dataset")
+    ap.add_argument("--seeds", type=int, default=None,
+                    help="override the SUBSET seed count for the --only "
+                         "dataset (e.g. widen a 1-seed wide-C row)")
     args = ap.parse_args()
     names = [args.only] if args.only else list(SUBSET)
-    if args.noise is not None:
+    if args.noise is not None or args.seeds is not None:
         if not args.only:
-            raise SystemExit("--noise requires --only")
-        SUBSET[args.only] = dict(SUBSET[args.only], noise=args.noise)
+            raise SystemExit("--noise/--seeds require --only")
+        over = {}
+        if args.noise is not None:
+            over["noise"] = args.noise
+        if args.seeds is not None:
+            over["seeds"] = args.seeds
+        SUBSET[args.only] = dict(SUBSET[args.only], **over)
 
     kept = {}
     if args.keep_giant:
